@@ -1,0 +1,121 @@
+"""Pose-induced optical flow and flow filtering (pure JAX, dense, batched).
+
+The shape constraint at the heart of SCFlow: flow between the rendered image
+(at the current pose estimate) and the real image is *derived from geometry*
+— each rendered foreground pixel's 3D point is re-projected under the updated
+pose and the displacement is the flow.
+
+TPU-first design note: the reference builds variable-length point lists per
+sample and scatters flow back at integer pixel locations in a Python loop
+(models/utils/pose.py:66-121). Because every scattered value lands exactly at
+the pixel it originated from, that scatter is equivalent to a dense per-pixel
+masked map — which is what we compute here: fixed shapes, no gather/scatter,
+fully fused by XLA.
+
+Flow tensors are (..., H, W, 2) in xy order (NHWC layout, TPU-preferred);
+invalid pixels carry `invalid_num` (reference uses 400., its `max_flow`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .projection import pixel_grid, project_points, unproject_depth
+
+DEFAULT_INVALID_FLOW = 400.0
+
+
+def flow_from_pose_and_points(rotation_dst: jax.Array, translation_dst: jax.Array,
+                              k: jax.Array, points_3d: jax.Array, valid: jax.Array,
+                              invalid_num: float = DEFAULT_INVALID_FLOW,
+                              eps: float = 1e-8) -> jax.Array:
+    """Pose-induced flow from precomputed dense 3D correspondence grids.
+
+    Args:
+      rotation_dst: (..., 3, 3) updated pose rotation.
+      translation_dst: (..., 3).
+      k: (..., 3, 3) intrinsics.
+      points_3d: (..., H, W, 3) object-frame point per source pixel
+        (from :func:`..projection.depth_to_correspondences`).
+      valid: (..., H, W) bool foreground mask of the source render.
+
+    Returns:
+      flow (..., H, W, 2); invalid pixels = invalid_num.
+
+    Reference semantics: models/utils/pose.py:66-88
+    (get_flow_from_delta_pose_and_points), vectorized dense.
+    """
+    h, w = valid.shape[-2], valid.shape[-1]
+    p_cam = jnp.einsum("...ij,...hwj->...hwi", rotation_dst, points_3d) \
+        + translation_dst[..., None, None, :]
+    uvw = jnp.einsum("...ij,...hwj->...hwi", k, p_cam)
+    xy_dst = uvw[..., :2] / (uvw[..., 2:3] + eps)
+    grid = pixel_grid(h, w, xy_dst.dtype)
+    flow = xy_dst - grid
+    return jnp.where(valid[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
+
+
+def flow_from_pose_and_depth(rotation_src: jax.Array, translation_src: jax.Array,
+                             rotation_dst: jax.Array, translation_dst: jax.Array,
+                             depth_src: jax.Array, k: jax.Array,
+                             invalid_num: float = DEFAULT_INVALID_FLOW) -> jax.Array:
+    """Flow from the source render (pose_src, depth_src) to the target pose.
+
+    Used to build GT flow for training (reference models/utils/pose.py:92-121,
+    get_flow_from_delta_pose_and_depth) — dense, batched.
+    """
+    _, pts_obj = unproject_depth(depth_src, k, rotation_src, translation_src)
+    return flow_from_pose_and_points(rotation_dst, translation_dst, k,
+                                     pts_obj, depth_src > 0, invalid_num)
+
+
+def filter_flow_by_mask(flow: jax.Array, target_mask: jax.Array,
+                        invalid_num: float = DEFAULT_INVALID_FLOW) -> jax.Array:
+    """Invalidate flow vectors landing outside the target-image mask.
+
+    flow: (..., H, W, 2); target_mask: (..., H, W) bool/float of the *target*
+    image foreground. A flow vector from source pixel p landing at p+flow is
+    valid only if p+flow (rounded) is inside the mask.
+
+    Reference semantics: models/utils/flow.py:6-26. The reference samples the
+    mask with nearest lookup at clipped integer coords; out-of-frame targets
+    are clamped to the border pixel (same as here via clipping).
+    """
+    h, w = target_mask.shape[-2], target_mask.shape[-1]
+    grid = pixel_grid(h, w, flow.dtype)
+    target = grid + flow
+    tx = jnp.clip(jnp.round(target[..., 0]).astype(jnp.int32), 0, w - 1)
+    ty = jnp.clip(jnp.round(target[..., 1]).astype(jnp.int32), 0, h - 1)
+    flat = target_mask.reshape(target_mask.shape[:-2] + (h * w,))
+    idx = ty * w + tx
+    landed = jnp.take_along_axis(flat, idx.reshape(idx.shape[:-2] + (h * w,)),
+                                 axis=-1).reshape(idx.shape)
+    ok = landed > 0.5 if landed.dtype != jnp.bool_ else landed
+    return jnp.where(ok[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
+
+
+def endpoint_error(flow_pred: jax.Array, flow_gt: jax.Array,
+                   valid: jax.Array | None = None):
+    """Mean EPE and 1/3/5-px accuracies over valid pixels.
+
+    Reference semantics: models/utils/flow.py:64-88 (cal_epe).
+    Returns dict(epe, acc1, acc3, acc5).
+    """
+    err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1)
+    if valid is None:
+        valid = jnp.ones_like(err, dtype=bool)
+    else:
+        valid = valid > 0.5 if valid.dtype != jnp.bool_ else valid
+    n = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid, err, 0.0)) / n
+
+    def acc(t):
+        return jnp.sum(jnp.where(valid, (err < t).astype(err.dtype), 0.0)) / n
+
+    return {"epe": mean, "acc1": acc(1.0), "acc3": acc(3.0), "acc5": acc(5.0)}
+
+
+def coords_from_flow(flow: jax.Array) -> jax.Array:
+    """Absolute target coordinates = pixel grid + flow (reference flow.py:90-103)."""
+    h, w = flow.shape[-3], flow.shape[-2]
+    return pixel_grid(h, w, flow.dtype) + flow
