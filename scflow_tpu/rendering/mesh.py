@@ -1,0 +1,194 @@
+"""Mesh loading and static-shape mesh banks.
+
+The reference keeps a dict of per-class pytorch3d Meshes and joins a ragged
+batch per render call (models/utils/rendering.py:132-147,189-190). On TPU we
+need static shapes: all class meshes are padded to a common (Vmax, Fmax)
+budget and stacked into one array bank, so a batch render is a single gather
+by label followed by fixed-shape compute.
+"""
+from __future__ import annotations
+
+import dataclasses
+from glob import glob
+from os import path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class MeshBank:
+    """Stacked, padded per-class mesh arrays (C classes).
+
+    verts:        (C, Vmax, 3) float32 object-frame vertices.
+    faces:        (C, Fmax, 3) int32 vertex indices (padding faces = 0,0,0).
+    face_valid:   (C, Fmax)    bool.
+    vert_normals: (C, Vmax, 3) float32 unit vertex normals.
+    vert_colors:  (C, Vmax, 3) float32 albedo in [0, 1] (0.7 gray default).
+    diameters:    (C,)         float32 mesh diameters (max pairwise extent).
+    """
+    verts: jax.Array
+    faces: jax.Array
+    face_valid: jax.Array
+    vert_normals: jax.Array
+    vert_colors: jax.Array
+    diameters: jax.Array
+
+    @property
+    def num_classes(self) -> int:
+        return self.verts.shape[0]
+
+    def gather(self, labels: jax.Array):
+        """Per-sample mesh arrays for a batch of class labels (N,)."""
+        return (self.verts[labels], self.faces[labels],
+                self.face_valid[labels], self.vert_normals[labels],
+                self.vert_colors[labels])
+
+
+def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted
+    vn = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / np.maximum(norm, 1e-12)
+
+
+def _diameter(verts: np.ndarray, sample: int = 1000) -> float:
+    """Approximate mesh diameter: max pairwise distance over sampled verts."""
+    if len(verts) > sample:
+        idx = np.random.default_rng(0).choice(len(verts), sample, replace=False)
+        verts = verts[idx]
+    d2 = np.sum((verts[:, None] - verts[None]) ** 2, axis=-1)
+    return float(np.sqrt(d2.max()))
+
+
+def build_mesh_bank(meshes: list[dict], pad_verts: int | None = None,
+                    pad_faces: int | None = None) -> MeshBank:
+    """Build a MeshBank from a list of dicts with keys
+    ``verts (V,3), faces (F,3)`` and optional ``vert_colors (V,3)``.
+    """
+    vmax = pad_verts or max(m["verts"].shape[0] for m in meshes)
+    fmax = pad_faces or max(m["faces"].shape[0] for m in meshes)
+    c = len(meshes)
+    verts = np.zeros((c, vmax, 3), np.float32)
+    faces = np.zeros((c, fmax, 3), np.int32)
+    valid = np.zeros((c, fmax), bool)
+    normals = np.zeros((c, vmax, 3), np.float32)
+    colors = np.full((c, vmax, 3), 0.7, np.float32)
+    diam = np.zeros((c,), np.float32)
+    for i, m in enumerate(meshes):
+        v = np.asarray(m["verts"], np.float32)
+        f = np.asarray(m["faces"], np.int32)
+        nv, nf = v.shape[0], f.shape[0]
+        if nv > vmax or nf > fmax:
+            raise ValueError(f"mesh {i} exceeds budget ({nv}>{vmax} or {nf}>{fmax})")
+        verts[i, :nv] = v
+        faces[i, :nf] = f
+        valid[i, :nf] = True
+        normals[i, :nv] = _vertex_normals(v, f)
+        if "vert_colors" in m and m["vert_colors"] is not None:
+            colors[i, :nv] = np.asarray(m["vert_colors"], np.float32)
+        diam[i] = _diameter(v)
+    return MeshBank(
+        verts=jnp.asarray(verts), faces=jnp.asarray(faces),
+        face_valid=jnp.asarray(valid), vert_normals=jnp.asarray(normals),
+        vert_colors=jnp.asarray(colors), diameters=jnp.asarray(diam))
+
+
+def load_mesh_file(path: str) -> dict:
+    """Load a single mesh (.ply/.obj) into the bank input format.
+
+    Self-contained parsers (no trimesh in this environment). Mirrors the
+    reference's per-class mesh loading (models/utils/rendering.py:132-147)
+    including vertex colors when present; UV-textured meshes are baked to
+    per-vertex colors (static-shape friendly).
+    """
+    from . import meshio
+
+    if path.lower().endswith(".ply"):
+        return meshio.load_ply(path)
+    if path.lower().endswith(".obj"):
+        return meshio.load_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def load_mesh_dir(mesh_dir: str, ext: str = "ply",
+                  pad_verts: int | None = None,
+                  pad_faces: int | None = None) -> MeshBank:
+    """Load all ``*.{ext}`` meshes in a directory, sorted, into a MeshBank.
+
+    Follows the reference's label convention: ``obj_000001.ply`` → label 0
+    (models/utils/rendering.py:141-147).
+    """
+    paths = sorted(glob(osp.join(mesh_dir, f"*.{ext}")))
+    if not paths:
+        raise FileNotFoundError(f"no *.{ext} meshes under {mesh_dir}")
+    return build_mesh_bank([load_mesh_file(p) for p in paths],
+                           pad_verts=pad_verts, pad_faces=pad_faces)
+
+
+def icosphere(subdivisions: int = 2, radius: float = 1.0):
+    """Procedural icosphere: (verts (V,3), faces (F,3)) numpy arrays."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
+    for _ in range(subdivisions):
+        cache: dict = {}
+        verts = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                cache[key] = len(verts)
+                verts.append((np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0)
+            return cache[key]
+
+        new_faces = []
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        faces = np.asarray(new_faces, np.int64)
+        verts = np.asarray(verts)
+    verts = verts / np.linalg.norm(verts, axis=-1, keepdims=True) * radius
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def box(extents=(1.0, 1.0, 1.0)):
+    """Procedural axis-aligned box centered at origin: (verts, faces)."""
+    ex, ey, ez = [e / 2.0 for e in extents]
+    verts = np.array([[sx * ex, sy * ey, sz * ez]
+                      for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                     np.float32)
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return verts, faces
+
+
+def make_test_meshes(num_classes: int = 2, subdivisions: int = 2,
+                     radius: float = 60.0) -> MeshBank:
+    """Procedural meshes (icospheres/boxes) for tests and benchmarks."""
+    meshes = []
+    for i in range(num_classes):
+        if i % 2 == 0:
+            v, f = icosphere(subdivisions=subdivisions,
+                             radius=radius * (1 + 0.2 * i))
+        else:
+            v, f = box(extents=(radius * 1.5, radius, radius * 0.7))
+        rng = np.random.default_rng(i)
+        colors = rng.uniform(0.2, 1.0, size=(len(v), 3)).astype(np.float32)
+        meshes.append({"verts": v, "faces": f, "vert_colors": colors})
+    return build_mesh_bank(meshes)

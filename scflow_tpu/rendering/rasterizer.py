@@ -1,0 +1,150 @@
+"""Differentiable-enough triangle rasterizer in pure JAX (XLA path).
+
+TPU-first re-design of the pytorch3d CUDA ``MeshRasterizer`` the reference
+depends on (models/utils/rendering.py:149-183). Instead of bin-based CUDA
+rasterization, we stream faces in fixed-size chunks with ``lax.scan``,
+evaluating screen-space edge functions for (chunk_faces × all_pixels) per
+step and keeping a per-pixel (z, face_id) winner carry. All shapes static;
+the O(F·P) edge-function work is elementwise VPU math that XLA fuses, and
+per-image cost at F=1k..4k faces, P=256² is far below MXU-bound stages.
+
+Conventions (match the reference's data, not pytorch3d's internals):
+- OpenCV camera: ``p_cam = R p_obj + t``, pixel = K p_cam / z, +z in front.
+- Screen-space (non-perspective-correct) barycentric interpolation of depth
+  and attributes — pytorch3d's RasterizationSettings default
+  (perspective_correct=False), which is what SCFlow trained with.
+- zbuf = interpolated camera-space z of the top face; background = 0
+  (the reference derives mask = depth > 0, base_refiner.py:111).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def project_vertices(verts: jax.Array, rotation: jax.Array, translation: jax.Array,
+                     k: jax.Array, eps: float = 1e-8):
+    """Object-frame verts (V, 3) → (pixel xy (V, 2), camera z (V,))."""
+    p_cam = verts @ rotation.T + translation
+    uvw = p_cam @ k.T
+    z = uvw[..., 2]
+    xy = uvw[..., :2] / (z[..., None] + eps)
+    return xy, z
+
+
+@partial(jax.jit, static_argnames=("height", "width", "chunk"))
+def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
+              face_valid: jax.Array, height: int, width: int,
+              chunk: int = 256):
+    """Z-buffer rasterization of one mesh.
+
+    Args:
+      verts_xy: (V, 2) pixel-space vertex coords.
+      verts_z: (V,) camera-space z.
+      faces: (F, 3) int vertex ids.
+      face_valid: (F,) bool (padding faces excluded).
+      height, width: output resolution.
+      chunk: faces per scan step (static).
+
+    Returns dict:
+      zbuf:    (H, W) top-face interpolated z, 0 for background.
+      face_id: (H, W) int32 winning face index, -1 for background.
+      bary:    (H, W, 3) screen-space barycentrics of the winner (0 bg).
+
+    vmap over a leading batch axis for batched meshes.
+    """
+    f = faces.shape[0]
+    pad = (-f) % chunk
+    if pad:
+        faces = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)])
+        face_valid = jnp.concatenate([face_valid, jnp.zeros((pad,), bool)])
+    num_chunks = faces.shape[0] // chunk
+    faces = faces.reshape(num_chunks, chunk, 3)
+    face_valid = face_valid.reshape(num_chunks, chunk)
+
+    ys = jnp.arange(height, dtype=verts_xy.dtype)
+    xs = jnp.arange(width, dtype=verts_xy.dtype)
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+
+    def step(carry, inp):
+        zbuf, best_face = carry
+        fchunk, fvalid, chunk_id = inp  # (C, 3), (C,), ()
+        tri_xy = verts_xy[fchunk]        # (C, 3, 2)
+        tri_z = verts_z[fchunk]          # (C, 3)
+
+        ax, ay = tri_xy[:, 0, 0], tri_xy[:, 0, 1]
+        bx, by = tri_xy[:, 1, 0], tri_xy[:, 1, 1]
+        cx, cy = tri_xy[:, 2, 0], tri_xy[:, 2, 1]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)  # (C,)
+
+        # Edge functions at every pixel: e0 opposite vertex a, etc.
+        def edge(x0, y0, x1, y1):
+            return ((x1 - x0)[:, None, None] * (py[None] - y0[:, None, None])
+                    - (y1 - y0)[:, None, None] * (px[None] - x0[:, None, None]))
+
+        e0 = edge(bx, by, cx, cy)  # (C, H, W)
+        e1 = edge(cx, cy, ax, ay)
+        e2 = edge(ax, ay, bx, by)
+
+        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        w0 = e0 * inv_area[:, None, None]
+        w1 = e1 * inv_area[:, None, None]
+        w2 = e2 * inv_area[:, None, None]
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)  # both windings via |area| sign in inv
+
+        z = (w0 * tri_z[:, 0, None, None] + w1 * tri_z[:, 1, None, None]
+             + w2 * tri_z[:, 2, None, None])
+        ok = (inside & fvalid[:, None, None]
+              & (jnp.abs(area) > 1e-12)[:, None, None]
+              & (tri_z > 1e-6).all(axis=-1)[:, None, None])
+        zcand = jnp.where(ok, z, _BIG)
+        zmin = jnp.min(zcand, axis=0)            # (H, W)
+        amin = jnp.argmin(zcand, axis=0)          # (H, W) index within chunk
+
+        win = zmin < zbuf
+        zbuf = jnp.where(win, zmin, zbuf)
+        best_face = jnp.where(win, amin + chunk_id * chunk, best_face)
+        return (zbuf, best_face), None
+
+    chunk_ids = jnp.arange(num_chunks, dtype=jnp.int32)
+    init = (jnp.full((height, width), _BIG),
+            jnp.full((height, width), -1, jnp.int32))
+    (zbuf, face_id), _ = jax.lax.scan(step, init, (faces, face_valid, chunk_ids))
+
+    bg = face_id < 0
+    zbuf = jnp.where(bg, 0.0, zbuf)
+
+    # Recompute barycentrics for the winning face only (cheap, avoids a
+    # heavy scan carry).
+    safe_face = jnp.maximum(face_id, 0)
+    fv = faces.reshape(-1, 3)[safe_face]             # (H, W, 3)
+    tri = verts_xy[fv]                               # (H, W, 3, 2)
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
+    bary = jnp.where(bg[..., None], 0.0, bary)
+    return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
+
+
+def interpolate_face_attributes(face_id: jax.Array, bary: jax.Array,
+                                faces: jax.Array, vert_attrs: jax.Array):
+    """Interpolate per-vertex attributes at rasterized pixels.
+
+    face_id (H, W), bary (H, W, 3), faces (F, 3), vert_attrs (V, D)
+    → (H, W, D); background pixels get 0.
+    """
+    safe = jnp.maximum(face_id, 0)
+    fv = faces[safe]                # (H, W, 3)
+    attrs = vert_attrs[fv]          # (H, W, 3, D)
+    out = jnp.einsum("hwk,hwkd->hwd", bary, attrs)
+    return jnp.where((face_id < 0)[..., None], 0.0, out)
