@@ -1,0 +1,279 @@
+"""SCFlow decoder: recurrent GRU updates with a pose-induced-flow constraint.
+
+Re-design of the reference ``SCFlowDecoder``
+(models/decoder/scflow_decoder.py:151-252) as a ``flax.linen.scan`` loop:
+the carry is (hidden state, full-res pose flow, occlusion mask, running
+pose), per-iteration outputs are stacked along a leading sequence axis, and
+everything — including the dense correspondence grids replacing the
+reference's per-sample ``cal_3d_2d_corr`` Python loop — is fixed-shape.
+
+Also provides ``RAFTDecoder`` (plain RAFT iteration with convex upsampling,
+reference models/decoder/raft_decoder.py:299-456) for the flow-only refiner
+family.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.flow import flow_from_pose_and_points
+from ..geometry.projection import depth_to_correspondences
+from ..geometry.se3 import compose_delta_pose
+from .corr import corr_lookup, correlation_pyramid
+from .gru import ConvGRU
+from .heads import FlowMaskEmbed, MotionEncoder, PoseHead, XHead
+from .layers import downsample_flow, resize_bilinear_align_corners, upsample_flow
+
+_H_CHANNELS = {"Basic": 128, "Small": 96}
+_CXT_CHANNELS = {"Basic": 128, "Small": 64}
+
+
+@dataclasses.dataclass
+class SCFlowOutputs:
+    """Per-iteration stacked sequences, leading axis = iteration."""
+    flow_from_pose: jax.Array    # (T, N, H, W, 2)
+    flow_from_pred: jax.Array    # (T, N, H, W, 2)
+    rotations: jax.Array         # (T, N, 3, 3)
+    translations: jax.Array      # (T, N, 3)
+    masks: jax.Array             # (T, N, H, W, 1) upsampled occlusion masks
+    delta_rotations: jax.Array   # (T, N, rot_dim)
+    delta_translations: jax.Array  # (T, N, 3)
+
+
+class _SCFlowIteration(nn.Module):
+    """One GRU + delta-pose update step (scanned over iterations)."""
+    net_type: str
+    num_levels: int
+    radius: int
+    detach_flow: bool
+    detach_mask: bool
+    detach_pose: bool
+    mask_flow: bool
+    mask_corr: bool
+    num_class: int
+    rotation_mode: str
+    depth_transform: str
+    detach_depth_for_xy: bool
+    invalid_flow_num: float
+
+    @nn.compact
+    def __call__(self, carry, pyramid, cxt_feat, label, k, points_3d, valid):
+        h_feat, flow, mask, rot, trans = carry
+        scale = 2 ** (self.num_levels - 1)
+        n, hf, wf, _ = cxt_feat.shape
+        h_img, w_img = flow.shape[1], flow.shape[2]
+
+        if self.detach_flow:
+            flow = jax.lax.stop_gradient(flow)
+        if self.detach_mask:
+            mask = jax.lax.stop_gradient(mask)
+
+        flow_small = downsample_flow(flow, scale)            # (N, hf, wf, 2)
+        corr = corr_lookup(pyramid, flow_small, radius=self.radius)
+        if self.mask_corr:
+            corr = corr * mask
+        motion_in_flow = flow_small * mask if self.mask_flow else flow_small
+        motion = MotionEncoder(self.net_type, name="motion")(corr, motion_in_flow)
+        x = jnp.concatenate([cxt_feat, motion], axis=-1)
+        h_feat = ConvGRU(_H_CHANNELS[self.net_type], name="gru")(h_feat, x)
+
+        delta_flow = XHead((256,), 2, "flow", name="flow_head")(h_feat)
+        mask = nn.sigmoid(XHead((256,), 1, "mask", name="mask_head")(h_feat))
+
+        dflow_feat = FlowMaskEmbed((128, 64), (7, 3), name="dflow_embed")(delta_flow)
+        mask_feat = FlowMaskEmbed((64, 32), (3, 3), name="mask_embed")(mask)
+        drot, dtrans = PoseHead(self.num_class, self.rotation_mode,
+                                name="pose_head")(
+            jnp.concatenate([h_feat, dflow_feat, mask_feat], axis=-1), label)
+
+        flow_pred = upsample_flow(flow_small + delta_flow, scale)
+        up_mask = resize_bilinear_align_corners(mask, (h_img, w_img))
+
+        rot_src = jax.lax.stop_gradient(rot) if self.detach_pose else rot
+        trans_src = jax.lax.stop_gradient(trans) if self.detach_pose else trans
+        rot_new, trans_new = compose_delta_pose(
+            drot, dtrans, rot_src, trans_src,
+            depth_transform=self.depth_transform,
+            detach_depth_for_xy=self.detach_depth_for_xy)
+
+        pose_flow = flow_from_pose_and_points(
+            rot_new, trans_new, k, points_3d, valid,
+            invalid_num=self.invalid_flow_num)
+
+        carry = (h_feat, pose_flow, mask, rot_new, trans_new)
+        outs = (pose_flow, flow_pred, rot_new, trans_new, up_mask, drot, dtrans)
+        return carry, outs
+
+
+class SCFlowDecoder(nn.Module):
+    """Shape-constrained recurrent decoder.
+
+    Config mirrors the shipped SCFlow recipe
+    (configs/refine_models/scflow_ycbv_pbr.py:204-227): Basic net, 4 levels,
+    radius 4, 8 iterations, all detach flags on, ortho6d rotations.
+    """
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    iters: int = 8
+    detach_flow: bool = True
+    detach_mask: bool = True
+    detach_pose: bool = True
+    mask_flow: bool = False
+    mask_corr: bool = False
+    num_class: int = 21
+    rotation_mode: str = "ortho6d"
+    depth_transform: str = "exp"
+    detach_depth_for_xy: bool = True
+
+    @nn.compact
+    def __call__(self, feat_render, feat_real, h_feat, cxt_feat,
+                 ref_rotation, ref_translation, depth, k, label,
+                 init_flow=None, invalid_flow_num: float = 0.0,
+                 iters: int | None = None) -> SCFlowOutputs:
+        """Run the recurrent refinement.
+
+        Args:
+          feat_render/feat_real: (N, hf, wf, C) stride-8 features.
+          h_feat: (N, hf, wf, 128) initial GRU hidden (tanh of context split).
+          cxt_feat: (N, hf, wf, 128) context features (relu split).
+          ref_rotation/(N,3,3), ref_translation/(N,3): rendering pose.
+          depth: (N, H, W) rendered depth at image resolution.
+          k: (N, 3, 3) intrinsics.
+          label: (N,) int class ids.
+          init_flow: optional (N, H, W, 2) initial flow (default zeros).
+          invalid_flow_num: value for background flow pixels (reference
+            passes 0. from SCFlowRefiner.get_pose, scflow_refiner.py:138).
+          iters: optional override of scan length (test-time iters).
+        """
+        n, h_img, w_img = depth.shape
+        scale = 2 ** (self.num_levels - 1)
+        hf, wf = h_img // scale, w_img // scale
+        num_iters = self.iters if iters is None else iters
+
+        pyramid = correlation_pyramid(feat_render, feat_real, self.num_levels)
+
+        # Dense 2D-3D correspondences from the rendered depth (the shape
+        # constraint's geometry, computed once per forward).
+        _, points_3d, valid = depth_to_correspondences(
+            depth, k, ref_rotation, ref_translation)
+
+        if init_flow is None:
+            init_flow = jnp.zeros((n, h_img, w_img, 2), feat_render.dtype)
+        init_mask = jnp.ones((n, hf, wf, 1), feat_render.dtype)
+
+        carry = (h_feat, init_flow, init_mask, ref_rotation, ref_translation)
+
+        scan = nn.scan(
+            _SCFlowIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=num_iters,
+        )(self.net_type, self.num_levels, self.radius, self.detach_flow,
+          self.detach_mask, self.detach_pose, self.mask_flow, self.mask_corr,
+          self.num_class, self.rotation_mode, self.depth_transform,
+          self.detach_depth_for_xy, invalid_flow_num, name="iteration")
+
+        _, outs = scan(carry, pyramid, cxt_feat, label, k, points_3d, valid)
+        return SCFlowOutputs(*outs)
+
+
+class _RAFTIteration(nn.Module):
+    """One plain-RAFT update step (flow only + optional occlusion mask)."""
+    net_type: str
+    num_levels: int
+    radius: int
+    predict_mask: bool
+    convex_upsample: bool
+
+    @nn.compact
+    def __call__(self, carry, pyramid, cxt_feat):
+        h_feat, flow = carry  # flow at feature resolution
+        scale = 2 ** (self.num_levels - 1)
+        flow = jax.lax.stop_gradient(flow)
+        corr = corr_lookup(pyramid, flow, radius=self.radius)
+        motion = MotionEncoder(self.net_type, name="motion")(corr, flow)
+        x = jnp.concatenate([cxt_feat, motion], axis=-1)
+        h_feat = ConvGRU(_H_CHANNELS[self.net_type], name="gru")(h_feat, x)
+        delta_flow = XHead((256,), 2, "flow", name="flow_head")(h_feat)
+        flow = flow + delta_flow
+
+        grid = 2 * self.radius + 1  # 9-way convex combination
+        if self.convex_upsample and self.net_type == "Basic":
+            up_weights = 0.25 * XHead((256,), 64 * grid, "mask",
+                                      name="up_mask_head")(h_feat)
+            upflow = convex_upsample(flow, up_weights, scale)
+        else:
+            upflow = upsample_flow(flow, scale)
+
+        occ = None
+        if self.predict_mask:
+            occ_small = nn.sigmoid(XHead((256,), 1, "mask",
+                                         name="occ_head")(h_feat))
+            occ = resize_bilinear_align_corners(
+                occ_small, (flow.shape[1] * scale, flow.shape[2] * scale))
+        else:
+            occ = jnp.zeros(upflow.shape[:-1] + (1,), upflow.dtype)
+
+        carry = (h_feat, flow)
+        return carry, (upflow, occ)
+
+
+def convex_upsample(flow: jax.Array, weights: jax.Array, scale: int) -> jax.Array:
+    """RAFT convex upsampling ×scale with learned 9-way weights.
+
+    flow: (N, h, w, 2); weights: (N, h, w, 9·scale²).
+    Semantics of reference RAFTDecoder._upsample (raft_decoder.py:381-416).
+    """
+    n, h, w, _ = flow.shape
+    win = weights.reshape(n, h, w, 9, scale, scale)
+    win = jax.nn.softmax(win, axis=3)
+    # 3×3 neighborhoods of scale*flow (zero padded)
+    fpad = jnp.pad(flow * scale, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack([
+        fpad[:, dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
+    ], axis=3)  # (N, h, w, 9, 2)
+    up = jnp.einsum("nhwkab,nhwkc->nhwabc", win, patches)  # (N,h,w,s,s,2)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * scale, w * scale, 2)
+
+
+class RAFTDecoder(nn.Module):
+    """Plain RAFT decoder (+ optional per-iteration occlusion masks).
+
+    Covers the reference's ``RAFTDecoder`` and ``RAFTDecoderMask`` families
+    (models/decoder/raft_decoder.py:299-456, raft_decoder_mask.py).
+    """
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    predict_mask: bool = False
+    convex_upsample: bool = True
+
+    @nn.compact
+    def __call__(self, feat1, feat2, h_feat, cxt_feat, init_flow=None,
+                 iters: int | None = None):
+        """Returns (upsampled flows (T, N, H, W, 2), occlusions (T, N, H, W, 1))."""
+        n, hf, wf, _ = feat1.shape
+        num_iters = self.iters if iters is None else iters
+        pyramid = correlation_pyramid(feat1, feat2, self.num_levels)
+        if init_flow is None:
+            init_flow = jnp.zeros((n, hf, wf, 2), feat1.dtype)
+        carry = (h_feat, init_flow)
+        scan = nn.scan(
+            _RAFTIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=num_iters,
+        )(self.net_type, self.num_levels, self.radius, self.predict_mask,
+          self.convex_upsample, name="iteration")
+        _, (flows, occs) = scan(carry, pyramid, cxt_feat)
+        return flows, occs

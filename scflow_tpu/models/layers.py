@@ -1,0 +1,124 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-first translations of the mmcv building blocks the reference model is
+made of: ConvModule (conv + optional norm + act), ResNet BasicBlock, and an
+align_corners=True bilinear resize (torch ``F.interpolate`` semantics used
+throughout the reference decoder, e.g. models/decoder/scflow_decoder.py:197).
+
+Layout is NHWC (channels-last) everywhere — the native layout for XLA:TPU
+convolutions; the reference's NCHW is a CUDA convention we do not carry over.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def instance_norm(channels: int, name: str | None = None) -> nn.Module:
+    """InstanceNorm as GroupNorm with one channel per group.
+
+    Stands in for the reference's IN feature-encoder norm
+    (configs/refine_models/scflow_ycbv_pbr.py:181). Affine params included.
+    """
+    return nn.GroupNorm(num_groups=channels, name=name)
+
+
+class ConvBlock(nn.Module):
+    """conv → (norm) → (act): the mmcv ``ConvModule`` equivalent."""
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    stride: int = 1
+    norm: str | None = None          # None | 'in' | 'bn' | 'gn'
+    act: Callable | None = nn.relu   # None for linear
+    gn_groups: int = 32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = ((self.kernel[0] // 2,) * 2, (self.kernel[1] // 2,) * 2)
+        x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                    padding=pad, use_bias=self.use_bias, name="conv")(x)
+        if self.norm == "in":
+            x = nn.GroupNorm(num_groups=self.features, name="norm")(x)
+        elif self.norm == "bn":
+            x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+        elif self.norm == "gn":
+            x = nn.GroupNorm(num_groups=self.gn_groups, name="norm")(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (reference models/backbone/resnet.py:12-92)."""
+    features: int
+    stride: int = 1
+    norm: str = "in"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = ConvBlock(self.features, (3, 3), self.stride, norm=self.norm,
+                        name="conv1")(x, train)
+        out = ConvBlock(self.features, (3, 3), 1, norm=self.norm, act=None,
+                        name="conv2")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = ConvBlock(self.features, (1, 1), self.stride,
+                                 norm=self.norm, act=None,
+                                 name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with torch align_corners=True semantics, NHWC.
+
+    Output pixel i samples input coordinate i * (H_in - 1) / (H_out - 1).
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+
+    def scale(n_out, n_in):
+        if n_out == 1:
+            return jnp.zeros((1,), x.dtype)
+        return jnp.arange(n_out, dtype=x.dtype) * ((n_in - 1) / (n_out - 1))
+
+    ys = scale(h_out, h_in)
+    xs = scale(w_out, w_in)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h_in - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w_in - 1)
+    y1 = jnp.minimum(y0 + 1, h_in - 1)
+    x1 = jnp.minimum(x0 + 1, w_in - 1)
+    wy = (ys - y0.astype(x.dtype))[:, None, None]
+    wx = (xs - x0.astype(x.dtype))[None, :, None]
+
+    rows0 = jnp.take(x, y0, axis=-3)
+    rows1 = jnp.take(x, y1, axis=-3)
+
+    def cols(rows):
+        c0 = jnp.take(rows, x0, axis=-2)
+        c1 = jnp.take(rows, x1, axis=-2)
+        return c0 * (1 - wx) + c1 * wx
+
+    return cols(rows0) * (1 - wy) + cols(rows1) * wy
+
+
+def downsample_flow(flow: jax.Array, scale: int) -> jax.Array:
+    """Downsample full-res flow to 1/scale and divide values by scale.
+
+    Matches reference SCFlowDecoder's per-iteration pose-flow downsampling
+    (models/decoder/scflow_decoder.py:197-198): bilinear, align_corners=True.
+    flow: (..., H, W, 2).
+    """
+    h, w = flow.shape[-3] // scale, flow.shape[-2] // scale
+    return resize_bilinear_align_corners(flow, (h, w)) / scale
+
+
+def upsample_flow(flow: jax.Array, scale: int) -> jax.Array:
+    """Upsample 1/scale-res flow to full res and multiply values by scale."""
+    h, w = flow.shape[-3] * scale, flow.shape[-2] * scale
+    return resize_bilinear_align_corners(flow, (h, w)) * scale

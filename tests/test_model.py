@@ -1,0 +1,225 @@
+"""Model-layer tests: shapes, parameter counts, correlation semantics,
+identity-initialized pose stability, and gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scflow_tpu.geometry import random_rotation
+from scflow_tpu.models import (
+    ConvGRU,
+    RAFTEncoder,
+    RAFTRefiner,
+    SCFlowRefiner,
+    corr_lookup,
+    correlation_pyramid,
+    downsample_flow,
+    resize_bilinear_align_corners,
+    upsample_flow,
+)
+
+# Small scene: 64×64 images → 8×8 features
+H = W = 64
+HF = WF = 8
+N = 2
+K_INTR = jnp.tile(jnp.asarray([[300., 0., 32.], [0., 300., 32.], [0., 0., 1.]]),
+                  (N, 1, 1))
+
+
+def small_inputs(key=0):
+    rng = np.random.default_rng(key)
+    render = jnp.asarray(rng.normal(size=(N, H, W, 3)), jnp.float32)
+    real = jnp.asarray(rng.normal(size=(N, H, W, 3)), jnp.float32)
+    depth = jnp.zeros((N, H, W)).at[:, 16:48, 16:48].set(600.0)
+    r = random_rotation(jax.random.PRNGKey(key), (N,))
+    t = jnp.tile(jnp.asarray([0., 0., 600.]), (N, 1))
+    label = jnp.asarray([0, 1])
+    return render, real, r, t, depth, label
+
+
+class TestEncoder:
+    def test_stride8_shape(self):
+        enc = RAFTEncoder(out_channels=256, norm="in")
+        x = jnp.zeros((1, 64, 64, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        y = enc.apply(params, x)
+        assert y.shape == (1, 8, 8, 256)
+
+    def test_bn_encoder_has_stats(self):
+        enc = RAFTEncoder(out_channels=256, norm="bn")
+        x = jnp.zeros((2, 64, 64, 3))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        assert "batch_stats" in variables
+        y, updates = enc.apply(variables, x, True, mutable=["batch_stats"])
+        assert y.shape == (2, 8, 8, 256)
+
+    def test_param_count_order(self):
+        # RAFT-Basic encoder ≈ 3.5M params in the reference family
+        enc = RAFTEncoder(out_channels=256, norm="in")
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        n = sum(p.size for p in jax.tree.leaves(params))
+        assert 1e6 < n < 6e6
+
+
+class TestCorrelation:
+    def test_pyramid_shapes(self):
+        f1 = jnp.ones((N, HF, WF, 32))
+        f2 = jnp.ones((N, HF, WF, 32))
+        pyr = correlation_pyramid(f1, f2, num_levels=4)
+        assert len(pyr) == 4
+        assert pyr[0].shape == (N, HF, WF, HF, WF)
+        assert pyr[3].shape == (N, HF, WF, HF // 8, WF // 8)
+
+    def test_correlation_values(self):
+        # orthogonal one-hot features → corr = identity pattern / sqrt(C)
+        c = 16
+        f = np.zeros((1, 2, 2, c), np.float32)
+        for i in range(4):
+            f[0, i // 2, i % 2, i] = 1.0
+        pyr = correlation_pyramid(jnp.asarray(f), jnp.asarray(f), 1)
+        corr = np.asarray(pyr[0][0])  # (2,2,2,2)
+        for i in range(2):
+            for j in range(2):
+                assert abs(corr[i, j, i, j] - 1 / 4.0) < 1e-5
+                assert abs(corr[i, j, (i + 1) % 2, j]) < 1e-6
+
+    def test_zero_flow_lookup_center(self):
+        # with zero flow, the center channel of the level-0 lookup window is
+        # the self-correlation at each position
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.normal(size=(1, HF, WF, 16)), jnp.float32)
+        pyr = correlation_pyramid(f, f, 4)
+        out = corr_lookup(pyr, jnp.zeros((1, HF, WF, 2)), radius=4)
+        assert out.shape == (1, HF, WF, 4 * 81)
+        center = np.asarray(out[0, :, :, 40])  # (2·4+1)²//2 = 40 center tap
+        self_corr = np.asarray(jnp.einsum("hwc,hwc->hw", f[0], f[0]) / 4.0)
+        np.testing.assert_allclose(center, self_corr, rtol=1e-4)
+
+    def test_flow_shifts_lookup(self):
+        rng = np.random.default_rng(1)
+        f1 = jnp.asarray(rng.normal(size=(1, HF, WF, 16)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(1, HF, WF, 16)), jnp.float32)
+        pyr = correlation_pyramid(f1, f2, 1)
+        # flow (1, 0): center tap at x should equal corr with target x+1
+        flow = jnp.zeros((1, HF, WF, 2)).at[..., 0].set(1.0)
+        out = corr_lookup(pyr, flow, radius=1)
+        center = np.asarray(out[0, :, :-1, 4])  # 3×3 window center
+        direct = np.asarray(
+            jnp.einsum("hwc,hvc->hwv", f1[0], f2[0]) / 4.0)  # (H, W, W)
+        for y in range(HF):
+            for x in range(WF - 1):
+                assert abs(center[y, x] - direct[y, x, x + 1]) < 1e-4
+
+
+class TestResize:
+    def test_align_corners_identity_points(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 2)),
+                        jnp.float32)
+        up = resize_bilinear_align_corners(x, (64, 64))
+        # corners preserved exactly with align_corners=True
+        np.testing.assert_allclose(np.asarray(up[0, 0, 0]), np.asarray(x[0, 0, 0]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(up[0, -1, -1]),
+                                   np.asarray(x[0, -1, -1]), rtol=1e-5)
+
+    def test_flow_up_down_roundtrip(self):
+        f = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 8, 2)),
+                        jnp.float32)
+        up = upsample_flow(f, 8)
+        down = downsample_flow(up, 8)
+        np.testing.assert_allclose(np.asarray(down), np.asarray(f), atol=1e-3)
+
+
+class TestConvGRU:
+    def test_hidden_bounded(self):
+        gru = ConvGRU(h_channels=16)
+        h = jnp.zeros((1, 8, 8, 16))
+        x = jnp.ones((1, 8, 8, 24))
+        params = gru.init(jax.random.PRNGKey(0), h, x)
+        out = gru.apply(params, h, x)
+        assert out.shape == h.shape
+        assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-5
+
+
+@pytest.fixture(scope="module")
+def scflow_model():
+    model = SCFlowRefiner(num_class=2, iters=3)
+    render, real, r, t, depth, label = small_inputs()
+    variables = model.init(jax.random.PRNGKey(0), render, real, r, t, depth,
+                           K_INTR, label)
+    return model, variables
+
+
+class TestSCFlowRefiner:
+    def test_output_shapes(self, scflow_model):
+        model, variables = scflow_model
+        render, real, r, t, depth, label = small_inputs()
+        out = model.apply(variables, render, real, r, t, depth, K_INTR, label)
+        T = 3
+        assert out.rotations.shape == (T, N, 3, 3)
+        assert out.translations.shape == (T, N, 3)
+        assert out.flow_from_pose.shape == (T, N, H, W, 2)
+        assert out.flow_from_pred.shape == (T, N, H, W, 2)
+        assert out.masks.shape == (T, N, H, W, 1)
+        assert out.delta_rotations.shape == (T, N, 6)
+
+    def test_identity_init_keeps_pose(self, scflow_model):
+        # pose head is identity-initialized → all iterations return ~ref pose
+        model, variables = scflow_model
+        render, real, r, t, depth, label = small_inputs()
+        out = model.apply(variables, render, real, r, t, depth, K_INTR, label)
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(out.rotations[i]),
+                                       np.asarray(r), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out.translations[i]),
+                                       np.asarray(t), rtol=1e-4)
+
+    def test_rotations_are_valid(self, scflow_model):
+        model, variables = scflow_model
+        render, real, r, t, depth, label = small_inputs()
+        out = model.apply(variables, render, real, r, t, depth, K_INTR, label)
+        rr = np.asarray(out.rotations).reshape(-1, 3, 3)
+        np.testing.assert_allclose(rr @ rr.transpose(0, 2, 1),
+                                   np.tile(np.eye(3), (len(rr), 1, 1)),
+                                   atol=1e-4)
+
+    def test_test_time_iters_override(self, scflow_model):
+        model, variables = scflow_model
+        render, real, r, t, depth, label = small_inputs()
+        out = model.apply(variables, render, real, r, t, depth, K_INTR, label,
+                          iters=5)
+        assert out.rotations.shape[0] == 5
+
+    def test_gradients_flow(self, scflow_model):
+        model, variables = scflow_model
+        render, real, r, t, depth, label = small_inputs()
+
+        def loss_fn(params):
+            out = model.apply({"params": params,
+                               "batch_stats": variables["batch_stats"]},
+                              render, real, r, t, depth, K_INTR, label,
+                              train=False)
+            return (jnp.mean(jnp.abs(out.delta_translations))
+                    + jnp.mean(jnp.abs(out.delta_rotations))
+                    + jnp.mean(out.masks))
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        gnorms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
+        assert all(np.isfinite(g) for g in gnorms)
+        assert sum(g > 0 for g in gnorms) > len(gnorms) * 0.5
+
+    def test_param_count(self, scflow_model):
+        _, variables = scflow_model
+        n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        # reference SCFlow-class model: ~5-20M params (3 encoders + GRU + heads)
+        assert 3e6 < n < 4e7
+
+
+class TestRAFTRefiner:
+    def test_forward_shapes(self):
+        model = RAFTRefiner(iters=3, predict_mask=True)
+        render, real, *_ = small_inputs()
+        variables = model.init(jax.random.PRNGKey(0), render, real)
+        flows, occs = model.apply(variables, render, real)
+        assert flows.shape == (3, N, H, W, 2)
+        assert occs.shape == (3, N, H, W, 1)
