@@ -1,0 +1,2 @@
+"""Data layer: BOP readers, transform pipeline, synthetic scenes."""
+from .synthetic import default_intrinsics, jitter_pose, synthetic_batch  # noqa: F401

@@ -1,0 +1,217 @@
+"""Train / eval step construction: render → forward → losses → update.
+
+The functional equivalent of the reference's
+``BaseRefiner.format_data_train_sup`` + ``SCFlowRefiner.loss`` +
+optim-wrapper step (models/refiner/base_refiner.py:154-225,
+scflow_refiner.py:182-256) as one jittable function. Device placement is
+declared through shardings (params replicated, batch sharded on the mesh's
+``data`` axis); XLA inserts the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..geometry.flow import filter_flow_by_mask, flow_from_pose_and_depth
+from ..losses import sequence_flow_loss, sequence_mask_loss, sequence_pose_loss
+from ..models.refiner import SCFlowRefiner
+from ..rendering.renderer import Renderer
+from .config import Config
+from .points_bank import PointsBank
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config):
+    """AdamW + linear OneCycle + global-norm clip (reference recipe
+    configs/refine_models/scflow_ycbv_pbr.py:282-303)."""
+    schedule = optax.linear_onecycle_schedule(
+        transition_steps=cfg.optim.total_steps,
+        peak_value=cfg.optim.lr,
+        pct_start=cfg.optim.pct_start,
+        pct_final=1.0 - cfg.optim.pct_start,
+        div_factor=cfg.optim.div_factor,
+        final_div_factor=cfg.optim.final_div_factor,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.optim.grad_clip_norm),
+        optax.adamw(schedule, b1=cfg.optim.betas[0], b2=cfg.optim.betas[1],
+                    eps=cfg.optim.eps, weight_decay=cfg.optim.weight_decay),
+    )
+    return tx, schedule
+
+
+def build_model(cfg: Config) -> SCFlowRefiner:
+    m = cfg.model
+    return SCFlowRefiner(
+        num_class=m.num_class, separate_encoder=m.separate_encoder,
+        h_channels=m.h_channels, cxt_channels=m.cxt_channels,
+        feat_channels=m.feat_channels, net_type=m.net_type,
+        num_levels=m.num_levels, radius=m.radius, iters=m.iters,
+        rotation_mode=m.rotation_mode, depth_transform=m.depth_transform,
+        detach_depth_for_xy=m.detach_depth_for_xy,
+        mask_flow=m.mask_flow, mask_corr=m.mask_corr)
+
+
+def init_train_state(cfg: Config, model: SCFlowRefiner, tx, rng,
+                     sample_batch) -> TrainState:
+    variables = model.init(
+        rng, sample_batch["rendered_images"], sample_batch["real_images"],
+        sample_batch["ref_rotations"], sample_batch["ref_translations"],
+        sample_batch["rendered_depths"], sample_batch["k"],
+        sample_batch["labels"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def render_at_pose(renderer: Renderer, rotations, translations, k, labels,
+                   normalize_mean, normalize_std):
+    """Render + normalize, returning model-ready inputs.
+
+    Equivalent of format_data's render step (base_refiner.py:186-199):
+    rendered RGB normalized with the dataset's mean/std (in 0-255 scale,
+    applied to [0,1] images), depth, and mask = depth > 0.
+    """
+    out = renderer(rotations, translations, k, labels)
+    mean = jnp.asarray(normalize_mean, jnp.float32) / 255.0
+    std = jnp.asarray(normalize_std, jnp.float32) / 255.0
+    images = (out["images"] - mean) / std
+    return images, out["depth"], out["mask"].astype(jnp.float32)
+
+
+def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
+                points_bank: PointsBank, cfg: Config, train: bool = True):
+    """Full SCFlow training loss (scflow_refiner.py:182-256 semantics).
+
+    batch keys: real_images, rendered_images, rendered_depths,
+    rendered_masks, ref_rotations, ref_translations, gt_rotations,
+    gt_translations, gt_masks, k, labels, sample_valid (optional per-sample
+    0/1 weight for padded batch entries).
+    """
+    max_flow = cfg.model.max_flow
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (train and batch_stats) else False
+    out = model.apply(variables, batch["rendered_images"],
+                      batch["real_images"], batch["ref_rotations"],
+                      batch["ref_translations"], batch["rendered_depths"],
+                      batch["k"], batch["labels"], train=train,
+                      mutable=mutable)
+    if mutable:
+        outputs, updates = out
+        new_stats = updates.get("batch_stats", batch_stats)
+    else:
+        outputs, new_stats = out, batch_stats
+
+    gt_flow = flow_from_pose_and_depth(
+        batch["ref_rotations"], batch["ref_translations"],
+        batch["gt_rotations"], batch["gt_translations"],
+        batch["rendered_depths"], batch["k"], invalid_num=max_flow)
+    if cfg.model.filter_invalid_flow and "gt_masks" in batch:
+        gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"],
+                                      invalid_num=max_flow)
+
+    points, point_valid, symmetric, diameters = points_bank.gather(
+        batch["labels"])
+    loss_pose, seq_pose = sequence_pose_loss(
+        outputs.rotations, outputs.translations,
+        batch["gt_rotations"], batch["gt_translations"],
+        points, point_valid, symmetric, diameters,
+        gamma=cfg.loss.gamma, loss_weight=cfg.loss.pose_weight,
+        loss_type=cfg.loss.pose_loss_type,
+        disentangled=cfg.loss.pose_disentangled,
+        disentangle_z=cfg.loss.pose_disentangle_z)
+
+    loss_flow, seq_flow = sequence_flow_loss(
+        outputs.flow_from_pred, gt_flow, batch["rendered_masks"],
+        gamma=cfg.loss.gamma, loss_weight=cfg.loss.flow_weight,
+        max_flow=max_flow)
+
+    # occlusion target: rendered pixels whose gt flow is valid
+    # (scflow_refiner.py:228 uses a raw channel sum vs max_flow)
+    gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
+    loss_mask, seq_mask = sequence_mask_loss(
+        outputs.masks[..., 0], gt_occ, gamma=cfg.loss.gamma,
+        loss_weight=cfg.loss.mask_weight)
+
+    loss = loss_pose + loss_flow + loss_mask
+    metrics = {
+        "loss": loss, "loss_pose": loss_pose, "loss_flow": loss_flow,
+        "loss_mask": loss_mask,
+        "seq_pose_loss": seq_pose, "seq_flow_loss": seq_flow,
+        "seq_mask_loss": seq_mask,
+    }
+    return loss, (new_stats, metrics, outputs)
+
+
+def make_train_step(model: SCFlowRefiner, renderer: Renderer,
+                    points_bank: PointsBank, cfg: Config, tx,
+                    donate: bool = False):
+    """Build the jittable train step: batch carries raw poses; rendering
+    happens on device inside the step. ``donate=True`` donates the input
+    state buffers (use in the real training loop; keep False when the same
+    state object is reused, e.g. in tests)."""
+
+    def train_step(state: TrainState, batch):
+        rendered, depth, mask = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"],
+            cfg.data.normalize_mean, cfg.data.normalize_std)
+        full_batch = dict(batch, rendered_images=rendered,
+                          rendered_depths=depth, rendered_masks=mask)
+
+        grad_fn = jax.value_and_grad(scflow_loss, has_aux=True)
+        (loss, (new_stats, metrics, _)), grads = grad_fn(
+            state.params, state.batch_stats, full_batch, model=model,
+            points_bank=points_bank, cfg=cfg, train=True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
+    """Inference step: render at ref pose, refine, return last-iter pose.
+
+    (Pose remapping back to the original image happens host-side in the
+    eval loop, like the reference's remap_pose_to_origin_resoluaion.)
+    """
+
+    def eval_step(params, batch_stats, batch):
+        rendered, depth, _ = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"],
+            cfg.data.normalize_mean, cfg.data.normalize_std)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outputs = model.apply(variables, rendered, batch["real_images"],
+                              batch["ref_rotations"], batch["ref_translations"],
+                              depth, batch["k"], batch["labels"], train=False,
+                              iters=cfg.model.test_iters)
+        return {
+            "rotations": outputs.rotations[-1],
+            "translations": outputs.translations[-1],
+            "masks": outputs.masks[-1],
+            "flow": outputs.flow_from_pred[-1],
+        }
+
+    return jax.jit(eval_step)
