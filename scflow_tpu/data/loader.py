@@ -1,0 +1,179 @@
+"""Host-side batch assembly: dataset + pipeline → fixed-shape train batches.
+
+Replaces the reference's DataLoader + DataContainer/collate machinery
+(datasets/pipelines/data_container.py): every batch is a dict of stacked
+numpy arrays with static shapes (object slots padded per image and masked
+via ``sample_valid``), ready for ``jax.device_put`` with a sharded batch
+axis. A simple double-buffered background-thread prefetcher overlaps host
+data work with device steps.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Iterator
+
+import numpy as np
+
+from ..training.config import Config, JitterConfig
+from .bop import RefineDataset, SuperviseTrainDataset
+from .pipeline import (crop_resize_pad, jitter_pose_np, normalize_image,
+                       project_bbox)
+
+
+class TrainBatchBuilder:
+    """Build SCFlow train batches from a SuperviseTrainDataset.
+
+    Per object: jitter GT→ref pose, project keypoints for the ref bbox,
+    crop/resize/pad around the ref bbox, adapt intrinsics; stack into a
+    fixed-size batch (reference train pipeline,
+    configs/refine_models/scflow_ycbv_pbr.py:46-89).
+    """
+
+    def __init__(self, dataset: SuperviseTrainDataset, cfg: Config,
+                 mesh_points_per_class: list[np.ndarray],
+                 mesh_diameters: list[float], seed: int = 0):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.mesh_points = mesh_points_per_class
+        self.diameters = mesh_diameters
+        self.rng = np.random.default_rng(seed)
+
+    def _one_sample(self) -> dict | None:
+        idx = int(self.rng.integers(len(self.dataset)))
+        item = self.dataset[idx]
+        if item is None:
+            return None
+        # one object per crop (reference sample_num=1 recipe)
+        i = int(self.rng.integers(len(item["labels"])))
+        label = int(item["labels"][i])
+        gt_r = item["gt_rotations"][i]
+        gt_t = item["gt_translations"][i]
+        k = item["k"][i]
+
+        ref_r, ref_t, add_err, trans_err, rot_err = jitter_pose_np(
+            self.rng, gt_r, gt_t, self.cfg.jitter,
+            mesh_points=self.mesh_points[label][:1000],
+            mesh_diameter=self.diameters[label])
+
+        bbox = project_bbox(self.mesh_points[label], k, ref_r, ref_t)
+        size_ratio = self.rng.uniform(*self.cfg.data.crop_size_range)
+        crop = crop_resize_pad(
+            item["image"], bbox, k, self.cfg.data.image_scale,
+            size_ratio=size_ratio, mask=item["gt_masks"][i])
+
+        img = normalize_image(crop.patch, self.cfg.data.normalize_mean,
+                              self.cfg.data.normalize_std)
+        return {
+            "real_images": img.astype(np.float32),
+            "gt_masks": crop.mask_patch.astype(np.float32),
+            "gt_rotations": gt_r, "gt_translations": gt_t,
+            "ref_rotations": ref_r, "ref_translations": ref_t,
+            "k": crop.k_new.astype(np.float32),
+            "labels": np.int32(label),
+            "init_add_error": np.float32(add_err),
+            "init_rot_error": np.float32(rot_err),
+            "init_trans_error": np.float32(trans_err),
+        }
+
+    def __call__(self) -> dict:
+        samples = []
+        while len(samples) < self.cfg.data.batch_size:
+            s = self._one_sample()
+            if s is not None:
+                samples.append(s)
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class TestBatchBuilder:
+    """Build per-image eval batches from a RefineDataset: all objects of an
+    image cropped at their ref-pose bboxes (reference test pipeline:
+    crop 1.1× at bbox, resize, pad, adapt K)."""
+
+    def __init__(self, dataset: RefineDataset, cfg: Config,
+                 mesh_points_per_class: list[np.ndarray]):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.mesh_points = mesh_points_per_class
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index: int) -> dict | None:
+        item = self.dataset[index]
+        if item is None:
+            return None
+        n = len(item["labels"])
+        imgs, ks, transforms = [], [], []
+        for i in range(n):
+            label = int(item["labels"][i])
+            bbox = project_bbox(self.mesh_points[label], item["k"][i],
+                                item["ref_rotations"][i],
+                                item["ref_translations"][i])
+            crop = crop_resize_pad(item["image"], bbox, item["k"][i],
+                                   self.cfg.data.image_scale,
+                                   size_ratio=self.cfg.data.test_crop_size)
+            imgs.append(normalize_image(crop.patch,
+                                        self.cfg.data.normalize_mean,
+                                        self.cfg.data.normalize_std))
+            ks.append(crop.k_new.astype(np.float32))
+            transforms.append(crop.transform)
+        out = {
+            "real_images": np.stack(imgs).astype(np.float32),
+            "ref_rotations": item["ref_rotations"],
+            "ref_translations": item["ref_translations"],
+            "k": np.stack(ks),
+            "labels": item["labels"].astype(np.int32),
+            "transform_matrix": np.stack(transforms),
+            "scene_id": item["scene_id"],
+            "img_id": item["img_id"],
+            "ori_k": item["ori_k"],
+        }
+        for key in ("gt_rotations", "gt_translations", "gt_labels"):
+            if key in item:
+                out[key] = item[key]
+        return out
+
+
+def pad_to_batch(batch: dict, batch_size: int) -> dict:
+    """Pad an n-object batch to a fixed size with a ``sample_valid`` mask
+    (fixed-shape handling of variable object counts — SURVEY.md hard part 5)."""
+    n = len(batch["labels"])
+    if n > batch_size:
+        raise ValueError(f"{n} objects exceed batch budget {batch_size}")
+    out = {}
+    valid = np.zeros((batch_size,), np.float32)
+    valid[:n] = 1.0
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.ndim >= 1 and v.shape[0] == n and k not in (
+                "scene_id", "img_id", "ori_k"):
+            pad_shape = (batch_size - n,) + v.shape[1:]
+            filler = (np.tile(v[:1], (batch_size - n,) + (1,) * (v.ndim - 1))
+                      if n > 0 else np.zeros(pad_shape, v.dtype))
+            out[k] = np.concatenate([v, filler], axis=0)
+        else:
+            out[k] = v
+    out["sample_valid"] = valid
+    return out
+
+
+def prefetch(iterator_fn, num_prefetch: int = 2) -> Iterator[dict]:
+    """Run ``iterator_fn()`` in a background thread with a small queue."""
+    q: queue.Queue = queue.Queue(maxsize=num_prefetch)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            try:
+                q.put(iterator_fn(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

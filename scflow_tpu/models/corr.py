@@ -39,32 +39,19 @@ def correlation_pyramid(feat_render: jax.Array, feat_real: jax.Array,
     return pyramid
 
 
-def _bilinear_gather(vol: jax.Array, coords: jax.Array) -> jax.Array:
-    """Sample vol (..., Hl, Wl) at coords (..., K, 2) xy, zero padding,
-    align_corners=True pixel-center convention (matches torch grid_sample
-    as used by the reference CorrLookup)."""
-    hl, wl = vol.shape[-2], vol.shape[-1]
-    x, y = coords[..., 0], coords[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    flat = vol.reshape(vol.shape[:-2] + (hl * wl,))
+def _axis_weights(targets: jax.Array, size: int) -> jax.Array:
+    """Dense bilinear weights of each integer coordinate for each target.
 
-    def at(yi, xi):
-        inb = (yi >= 0) & (yi <= hl - 1) & (xi >= 0) & (xi <= wl - 1)
-        idx = jnp.clip(yi, 0, hl - 1) * wl + jnp.clip(xi, 0, wl - 1)
-        val = jnp.take_along_axis(flat, idx, axis=-1)
-        return jnp.where(inb, val, 0.0)
-
-    v00 = at(y0i, x0i)
-    v01 = at(y0i, x0i + 1)
-    v10 = at(y0i + 1, x0i)
-    v11 = at(y0i + 1, x0i + 1)
-    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-            + wy * ((1 - wx) * v10 + wx * v11))
+    targets: (..., K) real-valued sample positions along one axis.
+    Returns (..., size, K): weight of source index i for target k =
+    max(0, 1 - |t_k - i|). Out-of-range targets get all-zero columns —
+    exactly torch grid_sample's zero padding with align_corners=True
+    (partially out-of-range samples keep only the in-range neighbor's
+    contribution).
+    """
+    idx = jnp.arange(size, dtype=targets.dtype)
+    return jnp.maximum(
+        0.0, 1.0 - jnp.abs(targets[..., None, :] - idx[:, None]))
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -72,11 +59,21 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
                 radius: int = 4) -> jax.Array:
     """Sample a (2r+1)² neighborhood from every pyramid level at flow targets.
 
+    TPU-first design: instead of a per-pixel gather (torch grid_sample,
+    reference models/utils/corr_lookup.py:102-136 — gathers lower to a
+    catastrophically slow scalar path on TPU), the bilinear 9×9-tap lookup
+    is expressed as two *separable dense matmuls* against per-axis bilinear
+    weight matrices: samp[q, dy, dx] = Σ_{y,x} corr[q, y, x]·wy[q, y, dy]·
+    wx[q, x, dx]. The tap grid shares one fractional offset per query, so
+    the weights are rank-2 separable and the whole lookup runs on the
+    MXU/VPU with zero gathers.
+
     Args:
       pyramid: list of (N, H, W, Hl, Wl) correlation levels.
       flow: (N, H, W, 2) current flow at feature resolution.
 
-    Returns (N, H, W, L*(2r+1)²) lookup features.
+    Returns (N, H, W, L*(2r+1)²) lookup features; tap channels ordered
+    (dy, dx) row-major per level, levels concatenated.
     """
     n, h, w, _ = flow.shape
     r = radius
@@ -84,17 +81,18 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
     xs = jnp.arange(w, dtype=flow.dtype)
     ys = jnp.arange(h, dtype=flow.dtype)
     gx, gy = jnp.meshgrid(xs, ys)
-    centroid = jnp.stack([gx, gy], axis=-1)[None] + flow  # (N, H, W, 2)
-
-    dx = jnp.linspace(-r, r, k, dtype=flow.dtype)
-    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1)  # (k,k,2) yx
-    # reference builds delta via meshgrid(dy, dx) stacked (dy, dx) last —
-    # offsets are added to (x, y) coords as (x+dx, y+dy); a symmetric grid
-    # makes the order immaterial, but keep xy explicit here:
-    delta_xy = jnp.stack([delta[..., 1], delta[..., 0]], axis=-1).reshape(-1, 2)
+    cx = gx[None] + flow[..., 0]  # (N, H, W)
+    cy = gy[None] + flow[..., 1]
+    d = jnp.arange(-r, r + 1, dtype=flow.dtype)
 
     out = []
     for lvl, corr in enumerate(pyramid):
-        coords = centroid[..., None, :] / (2.0 ** lvl) + delta_xy  # (N,H,W,K²,2)
-        out.append(_bilinear_gather(corr, coords))
+        hl, wl = corr.shape[-2], corr.shape[-1]
+        tx = cx[..., None] / (2.0 ** lvl) + d      # (N, H, W, K)
+        ty = cy[..., None] / (2.0 ** lvl) + d
+        wx = _axis_weights(tx, wl)                 # (N, H, W, Wl, K)
+        wy = _axis_weights(ty, hl)                 # (N, H, W, Hl, K)
+        a = jnp.einsum("nhwyx,nhwxk->nhwyk", corr, wx)
+        samp = jnp.einsum("nhwyk,nhwyj->nhwjk", a, wy)  # j=dy, k=dx
+        out.append(samp.reshape(n, h, w, k * k))
     return jnp.concatenate(out, axis=-1)

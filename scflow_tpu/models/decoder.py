@@ -13,12 +13,12 @@ family.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from ..geometry.flow import flow_from_pose_and_points
 from ..geometry.projection import depth_to_correspondences
@@ -32,8 +32,7 @@ _H_CHANNELS = {"Basic": 128, "Small": 96}
 _CXT_CHANNELS = {"Basic": 128, "Small": 64}
 
 
-@dataclasses.dataclass
-class SCFlowOutputs:
+class SCFlowOutputs(struct.PyTreeNode):
     """Per-iteration stacked sequences, leading axis = iteration."""
     flow_from_pose: jax.Array    # (T, N, H, W, 2)
     flow_from_pred: jax.Array    # (T, N, H, W, 2)

@@ -66,7 +66,8 @@ def build_model(cfg: Config) -> SCFlowRefiner:
 
 def init_train_state(cfg: Config, model: SCFlowRefiner, tx, rng,
                      sample_batch) -> TrainState:
-    variables = model.init(
+    # always jit init: eager op-by-op dispatch is pathologically slow on TPU
+    variables = jax.jit(model.init)(
         rng, sample_batch["rendered_images"], sample_batch["real_images"],
         sample_batch["ref_rotations"], sample_batch["ref_translations"],
         sample_batch["rendered_depths"], sample_batch["k"],
