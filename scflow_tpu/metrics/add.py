@@ -62,13 +62,12 @@ def add_auc(errors_mm: np.ndarray, max_error_mm: float = 100.0) -> float:
     n = len(errs)
     if n == 0:
         return 0.0
-    # step function integration
-    errs = np.clip(errs, 0, max_error_mm)
-    acc = np.arange(1, n + 1) / n
-    # prepend 0, append max
-    xs = np.concatenate([[0.0], errs, [max_error_mm]])
-    ys = np.concatenate([[0.0], acc, [acc[-1]]])
-    return float(np.trapezoid(ys, xs) / max_error_mm)
+    # exact step-function integration: accuracy jumps to i/n at err_i
+    xs = np.concatenate([[0.0], np.clip(errs, 0, max_error_mm),
+                         [max_error_mm]])
+    acc = np.concatenate([np.arange(n + 1) / n, [1.0]])
+    widths = np.diff(xs)
+    return float(np.sum(widths * acc[:len(widths)]) / max_error_mm)
 
 
 def match_results(pred: dict, gt: dict, points_per_class, diameters,

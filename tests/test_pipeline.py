@@ -1,0 +1,116 @@
+"""Host-side data pipeline tests: jitter, bbox projection, crop geometry,
+intrinsic adaptation consistency, fixed-shape padding."""
+import numpy as np
+import pytest
+
+from scflow_tpu.data.loader import pad_to_batch
+from scflow_tpu.data.pipeline import (crop_resize_pad, jitter_pose_np,
+                                      normalize_image, project_bbox)
+from scflow_tpu.training.config import JitterConfig
+
+K = np.array([[500., 0., 320.], [0., 500., 240.], [0., 0., 1.]], np.float32)
+
+
+def random_pose(seed=0):
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    r = Rotation.random(random_state=seed).as_matrix().astype(np.float32)
+    t = np.array([rng.uniform(-50, 50), rng.uniform(-50, 50),
+                  rng.uniform(600, 1000)], np.float32)
+    return r, t
+
+
+class TestJitter:
+    def test_limits_respected(self):
+        cfg = JitterConfig(angle_std_deg=15, angle_limit_deg=45,
+                           translation_limit_mm=200)
+        rng = np.random.default_rng(0)
+        r, t = random_pose()
+        for i in range(20):
+            ref_r, ref_t, _, trans_err, rot_err = jitter_pose_np(rng, r, t, cfg)
+            assert rot_err <= 45.0 + 1e-6
+            assert trans_err <= 200.0 + 1e-6
+            # valid rotation
+            np.testing.assert_allclose(ref_r @ ref_r.T, np.eye(3), atol=1e-5)
+
+    def test_add_limit(self):
+        rng = np.random.default_rng(1)
+        pts = rng.normal(scale=50, size=(500, 3)).astype(np.float32)
+        cfg = JitterConfig(add_limit=1.0)
+        r, t = random_pose(1)
+        for _ in range(5):
+            _, _, add_err, _, _ = jitter_pose_np(rng, r, t, cfg,
+                                                 mesh_points=pts,
+                                                 mesh_diameter=100.0)
+            assert add_err <= 1.0
+
+
+class TestBboxAndCrop:
+    def test_projected_bbox_contains_center(self):
+        pts = np.random.default_rng(0).normal(scale=40, size=(100, 3)).astype(np.float32)
+        r, t = random_pose(2)
+        bbox = project_bbox(pts, K, r, t)
+        # center projection inside bbox
+        uvw = K @ (r @ np.zeros(3) + t)
+        cx, cy = uvw[0] / uvw[2], uvw[1] / uvw[2]
+        assert bbox[0] <= cx <= bbox[2]
+        assert bbox[1] <= cy <= bbox[3]
+
+    def test_crop_intrinsic_consistency(self):
+        """The adapted K must project points to the same pixels in the crop
+        as the original K did in the full image (crop geometry check)."""
+        img = np.zeros((480, 640, 3), np.uint8)
+        pts = np.random.default_rng(3).normal(scale=40, size=(50, 3)).astype(np.float32)
+        r, t = random_pose(3)
+        bbox = project_bbox(pts, K, r, t)
+        crop = crop_resize_pad(img, bbox, K, 256, size_ratio=1.2)
+
+        p_cam = pts @ r.T + t
+        uvw_full = p_cam @ K.T
+        xy_full = uvw_full[:, :2] / uvw_full[:, 2:3]
+        xy_full_h = np.concatenate([xy_full, np.ones((50, 1))], -1)
+        expect = (crop.transform @ xy_full_h.T).T[:, :2]
+
+        uvw_crop = p_cam @ crop.k_new.T
+        xy_crop = uvw_crop[:, :2] / uvw_crop[:, 2:3]
+        np.testing.assert_allclose(xy_crop, expect, atol=1e-3)
+        # object lands inside the crop
+        assert xy_crop.min() > 0 and xy_crop.max() < 256
+
+    def test_mask_crop_follows_image(self):
+        img = np.zeros((480, 640, 3), np.uint8)
+        img[200:280, 300:380] = 255
+        mask = np.zeros((480, 640), bool)
+        mask[200:280, 300:380] = True
+        bbox = np.array([300., 200., 380., 280.])
+        crop = crop_resize_pad(img, bbox, K, 128, size_ratio=1.0, mask=mask)
+        # bright pixels and mask coincide after identical transforms
+        bright = crop.patch[..., 0] > 127
+        agree = (bright == crop.mask_patch).mean()
+        assert agree > 0.97
+
+    def test_pad_value_outside(self):
+        img = np.zeros((100, 100, 3), np.uint8)
+        bbox = np.array([-20., -20., 40., 40.])  # partially out of frame
+        crop = crop_resize_pad(img, bbox, K, 64, size_ratio=1.0, pad_val=128)
+        assert (crop.patch == 128).any()
+
+
+class TestBatching:
+    def test_pad_to_batch(self):
+        batch = {
+            "labels": np.array([1, 2, 3]),
+            "ref_rotations": np.stack([np.eye(3)] * 3),
+            "scene_id": 5,
+        }
+        out = pad_to_batch(batch, 8)
+        assert out["labels"].shape == (8,)
+        assert out["ref_rotations"].shape == (8, 3, 3)
+        assert out["sample_valid"].tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+        assert out["scene_id"] == 5
+
+    def test_normalize(self):
+        img = np.full((4, 4, 3), 255, np.uint8)
+        out = normalize_image(img)
+        np.testing.assert_allclose(out, 1.0)
