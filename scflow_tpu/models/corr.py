@@ -90,9 +90,13 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
         hl, wl = corr.shape[-2], corr.shape[-1]
         tx = cx[..., None] / (2.0 ** lvl) + d      # (N, H, W, K)
         ty = cy[..., None] / (2.0 ** lvl) + d
-        wx = _axis_weights(tx, wl)                 # (N, H, W, Wl, K)
-        wy = _axis_weights(ty, hl)                 # (N, H, W, Hl, K)
-        a = jnp.einsum("nhwyx,nhwxk->nhwyk", corr, wx)
-        samp = jnp.einsum("nhwyk,nhwyj->nhwjk", a, wy)  # j=dy, k=dx
-        out.append(samp.reshape(n, h, w, k * k))
+        # flatten (N, H, W) into ONE batch dim: XLA-TPU compiles/runs a
+        # single-batch-dim batched GEMM far better than nested batch dims
+        wx = _axis_weights(tx, wl).reshape(-1, wl, k)   # (B, Wl, K)
+        wy = _axis_weights(ty, hl).reshape(-1, hl, k)   # (B, Hl, K)
+        c = corr.reshape(-1, hl, wl)                    # (B, Hl, Wl)
+        a = jax.lax.dot_general(c, wx, (((2,), (1,)), ((0,), (0,))))
+        samp = jax.lax.dot_general(a, wy, (((1,), (1,)), ((0,), (0,))))
+        # samp: (B, Kx, Jy) → order taps (dy, dx) row-major
+        out.append(jnp.swapaxes(samp, -1, -2).reshape(n, h, w, k * k))
     return jnp.concatenate(out, axis=-1)
