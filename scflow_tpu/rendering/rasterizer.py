@@ -62,17 +62,31 @@ def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
     if pad:
         faces = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)])
         face_valid = jnp.concatenate([face_valid, jnp.zeros((pad,), bool)])
-    num_chunks = faces.shape[0] // chunk
-    faces = faces.reshape(num_chunks, chunk, 3)
-    face_valid = face_valid.reshape(num_chunks, chunk)
+    f_padded = faces.shape[0]
+    num_chunks = f_padded // chunk
+    # Packed z-test: the (min z, argmin face) pair is carried as ONE int32
+    # key = top-18 bits of bitcast(z) | 14-bit face id. Positive-float
+    # bitcasts are monotone, so an integer min gives the nearest face with
+    # its id in one fully-fused elementwise+reduce chain (no argmin /
+    # select bookkeeping in the scan carry). z precision only affects tie
+    # ordering (~1e-4 relative); the output zbuf is recomputed exactly for
+    # the winning face below.
+    id_bits = max(14, (f_padded - 1).bit_length())
+    assert id_bits < 24, f"face budget {f_padded} too large for packed keys"
+    id_mask = (1 << id_bits) - 1
+    faces_c = faces.reshape(num_chunks, chunk, 3)
+    valid_c = face_valid.reshape(num_chunks, chunk)
+    ids_c = jnp.arange(f_padded, dtype=jnp.int32).reshape(num_chunks, chunk)
 
     ys = jnp.arange(height, dtype=verts_xy.dtype)
     xs = jnp.arange(width, dtype=verts_xy.dtype)
     px, py = jnp.meshgrid(xs, ys)  # (H, W)
 
+    _BIG_KEY = jnp.int32(0x7F7F0000)  # bitcast-key of a huge positive float
+
     def step(carry, inp):
-        zbuf, best_face = carry
-        fchunk, fvalid, chunk_id = inp  # (C, 3), (C,), ()
+        key_buf = carry
+        fchunk, fvalid, fids = inp  # (C, 3), (C,), (C,)
         tri_xy = verts_xy[fchunk]        # (C, 3, 2)
         tri_z = verts_z[fchunk]          # (C, 3)
 
@@ -101,25 +115,19 @@ def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
         ok = (inside & fvalid[:, None, None]
               & (jnp.abs(area) > 1e-12)[:, None, None]
               & (tri_z > 1e-6).all(axis=-1)[:, None, None])
-        zcand = jnp.where(ok, z, _BIG)
-        zmin = jnp.min(zcand, axis=0)            # (H, W)
-        amin = jnp.argmin(zcand, axis=0)          # (H, W) index within chunk
+        zkey = jax.lax.bitcast_convert_type(jnp.maximum(z, 1e-30), jnp.int32)
+        key = ((zkey >> id_bits) << id_bits) | fids[:, None, None]
+        key = jnp.where(ok, key, _BIG_KEY)
+        return jnp.minimum(key_buf, jnp.min(key, axis=0)), None
 
-        win = zmin < zbuf
-        zbuf = jnp.where(win, zmin, zbuf)
-        best_face = jnp.where(win, amin + chunk_id * chunk, best_face)
-        return (zbuf, best_face), None
+    init = jnp.full((height, width), _BIG_KEY, jnp.int32)
+    key_buf, _ = jax.lax.scan(step, init, (faces_c, valid_c, ids_c))
 
-    chunk_ids = jnp.arange(num_chunks, dtype=jnp.int32)
-    init = (jnp.full((height, width), _BIG),
-            jnp.full((height, width), -1, jnp.int32))
-    (zbuf, face_id), _ = jax.lax.scan(step, init, (faces, face_valid, chunk_ids))
+    bg = key_buf >= _BIG_KEY
+    face_id = jnp.where(bg, -1, key_buf & id_mask)
 
-    bg = face_id < 0
-    zbuf = jnp.where(bg, 0.0, zbuf)
-
-    # Recompute barycentrics for the winning face only (cheap, avoids a
-    # heavy scan carry).
+    # Recompute exact z + barycentrics for the winning face only (cheap,
+    # avoids a heavy scan carry).
     safe_face = jnp.maximum(face_id, 0)
     fv = faces.reshape(-1, 3)[safe_face]             # (H, W, 3)
     tri = verts_xy[fv]                               # (H, W, 3, 2)
@@ -133,6 +141,9 @@ def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
     e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
     bary = jnp.where(bg[..., None], 0.0, bary)
+    tri_z = verts_z[fv]                              # (H, W, 3)
+    zbuf = jnp.sum(bary * tri_z, axis=-1)
+    zbuf = jnp.where(bg, 0.0, zbuf)
     return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
 
 

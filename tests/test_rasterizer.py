@@ -49,8 +49,8 @@ class TestRasterizeTriangles:
         out = rasterize(verts_xy, verts_z, faces, jnp.asarray([True, True]), 64, 64)
         zb = np.asarray(out["zbuf"])
         fid = np.asarray(out["face_id"])
-        assert zb[20, 20] == 50.0 and fid[20, 20] == 1   # overlap → nearer
-        assert zb[11, 11] == 100.0 and fid[11, 11] == 0  # only far triangle
+        assert abs(zb[20, 20] - 50.0) < 1e-3 and fid[20, 20] == 1  # overlap → nearer
+        assert abs(zb[11, 11] - 100.0) < 1e-3 and fid[11, 11] == 0  # only far tri
 
     def test_depth_interpolation(self):
         # vertical gradient: z varies linearly with y (screen-space interp)
