@@ -43,6 +43,10 @@ class Renderer:
     separate_lights: bool = True
     light_offset: float = 400.0
     face_chunk: int = 256
+    # Pallas tile-binned rasterizer (scflow_tpu.ops.rasterize_fast); falls
+    # back to the XLA scan rasterizer when False. Interpret mode is used
+    # automatically on CPU.
+    use_fast_rasterizer: bool = True
 
     def __call__(self, rotations: jax.Array, translations: jax.Array,
                  k: jax.Array, labels: jax.Array) -> dict:
@@ -65,16 +69,29 @@ def _render(self: Renderer, rotations, translations, k, labels):
     verts, faces, face_valid, vert_normals, vert_colors = \
         self.mesh_bank.gather(labels)
 
+    use_fast = self.use_fast_rasterizer
+    interpret = jax.default_backend() == "cpu"
+
     def one(verts_i, faces_i, fvalid_i, normals_i, colors_i, r_i, t_i, k_i):
         xy, z = project_vertices(verts_i, r_i, t_i, k_i)
-        frag = rasterize(xy, z, faces_i, fvalid_i, h, w, chunk=self.face_chunk)
+        if use_fast:
+            from ..ops.rasterize_fast import rasterize_fast
+
+            frag = rasterize_fast(xy, z, faces_i, fvalid_i, h, w,
+                                  interpret=interpret)
+        else:
+            frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
+                             chunk=self.face_chunk)
         mask = frag["face_id"] >= 0
-        pts = interpolate_face_attributes(frag["face_id"], frag["bary"],
-                                          faces_i, verts_i)
-        nrm = interpolate_face_attributes(frag["face_id"], frag["bary"],
-                                          faces_i, normals_i)
-        alb = interpolate_face_attributes(frag["face_id"], frag["bary"],
-                                          faces_i, colors_i)
+        # one packed row-gather for all per-vertex attributes
+        tri_attr = jnp.concatenate(
+            [verts_i[faces_i], normals_i[faces_i], colors_i[faces_i]],
+            axis=-1)                                    # (F, 3, 9)
+        safe = jnp.maximum(frag["face_id"], 0)
+        rows = tri_attr[safe]                           # (H, W, 3, 9)
+        interp = jnp.einsum("hwk,hwkd->hwd", frag["bary"], rows)
+        interp = jnp.where(mask[..., None], interp, 0.0)
+        pts, nrm, alb = interp[..., 0:3], interp[..., 3:6], interp[..., 6:9]
 
         # camera center in the object frame: -Rᵀ t
         cam_obj = -r_i.T @ t_i
