@@ -1,0 +1,113 @@
+"""Distributed result collection and metric reduction.
+
+TPU-native replacement for the reference's eval gather machinery
+(tools/eval.py:143-216 ``collect_results_cpu`` — pickle → tmpdir → barrier —
+and ``collect_results_gpu`` — padded byte-tensor all_gather — plus the
+``reduce_mean`` NCCL all-reduce, models/utils/utils.py:62-67):
+
+- :func:`reduce_metrics` — device-side psum of per-class error sums/counts
+  inside jit (no rank-0 funnel).
+- :func:`allgather_results` — host-level gather of per-process pytrees via
+  ``multihost_utils.process_allgather``.
+- :func:`MetricAccumulator` — fixed-shape per-class accumulation designed
+  so cross-host reduction is a single psum.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def reduce_metrics(tree, axis_name: str = "data"):
+    """psum a pytree of metric accumulators across a mesh axis (call inside
+    shard_map/pjit-traced code)."""
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), tree)
+
+
+def allgather_results(local_tree):
+    """Gather a pytree of host-local numpy arrays from every process.
+
+    Single-process: returns the input unchanged (leading axis preserved).
+    Multi-process: concatenates every process's leading axis.
+    """
+    if jax.process_count() == 1:
+        return local_tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local_tree, tiled=False)
+    # process_allgather stacks a leading process axis; merge it
+    return jax.tree.map(lambda x: np.concatenate(list(x), axis=0), gathered)
+
+
+@dataclasses.dataclass
+class MetricAccumulator:
+    """Fixed-shape per-class accumulation of pose errors.
+
+    Accumulates (per class): instance count and counts under each ADD
+    threshold plus summed/binned errors for AUC. The state is a pytree of
+    dense arrays, so merging across devices/hosts is a psum/sum — no ragged
+    result lists.
+    """
+    num_classes: int
+    thresholds: tuple = (0.05, 0.10, 0.20, 0.50)
+    auc_bins: int = 100
+    max_auc_error: float = 100.0
+
+    def init(self):
+        c, t, b = self.num_classes, len(self.thresholds), self.auc_bins
+        return {
+            "count": jnp.zeros((c,), jnp.int32),
+            "under_threshold": jnp.zeros((c, t), jnp.int32),
+            "auc_hist": jnp.zeros((c, b), jnp.int32),
+        }
+
+    def update(self, state, labels, errors, diameters, valid=None):
+        """Add a batch of per-instance errors (device-side, jit-friendly).
+
+        labels (N,), errors (N,) in mm, diameters (N,), valid (N,) 0/1.
+        """
+        v = jnp.ones_like(errors) if valid is None else valid
+        vb = v > 0.5
+        one = jnp.where(vb, 1, 0)
+        state = dict(state)
+        state["count"] = state["count"].at[labels].add(one)
+        rel = errors / diameters
+        for i, thr in enumerate(self.thresholds):
+            hit = jnp.where(vb & (rel < thr), 1, 0)
+            state["under_threshold"] = state["under_threshold"].at[labels, i].add(hit)
+        bin_idx = jnp.clip((errors / self.max_auc_error * self.auc_bins)
+                           .astype(jnp.int32), 0, self.auc_bins - 1)
+        state["auc_hist"] = state["auc_hist"].at[labels, bin_idx].add(one)
+        return state
+
+    def merge(self, states):
+        """Sum accumulator states (e.g. gathered from all hosts)."""
+        out = states[0]
+        for s in states[1:]:
+            out = jax.tree.map(lambda a, b: a + b, out, s)
+        return out
+
+    def compute(self, state) -> dict:
+        """Final per-class + average accuracies and histogram AUC."""
+        count = np.asarray(state["count"], np.float64)
+        under = np.asarray(state["under_threshold"], np.float64)
+        hist = np.asarray(state["auc_hist"], np.float64)
+        present = count > 0
+        safe = np.maximum(count, 1)
+        out = {}
+        accs = under / safe[:, None]
+        for i, thr in enumerate(self.thresholds):
+            out[f"average/add_{thr:.2f}d"] = float(accs[present, i].mean()
+                                                   if present.any() else 0.0)
+        # histogram AUC: cumulative accuracy over bins (bin centers)
+        cum = np.cumsum(hist, axis=1) / safe[:, None]
+        aucs = cum.mean(axis=1)
+        out["average/auc"] = float(aucs[present].mean() if present.any() else 0.0)
+        out["num_instances"] = int(count.sum())
+        for c in range(self.num_classes):
+            if present[c]:
+                out[f"cls_{c}/auc"] = float(aucs[c])
+        return out
