@@ -94,10 +94,13 @@ def _make_kernel(tile_h: int, tile_w: int):
   def _kernel(tri_ref, ov_ref, out_ref):
     """One (sample, tile) program: loop overlapping 64-face chunks, keep the
     packed-key minimum over faces for each pixel of the tile."""
+    tile_id = pl.program_id(1) * pl.num_programs(2) + pl.program_id(2)
     y0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
     x0 = (pl.program_id(2) * tile_w).astype(jnp.float32)
-    py = y0 + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-    px = x0 + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    py = y0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
 
     num_chunks = ov_ref.shape[1]
 
@@ -133,7 +136,8 @@ def _make_kernel(tile_h: int, tile_w: int):
             return jax.lax.fori_loop(0, CHUNK, face_body, keybuf)
 
         # skip chunks whose faces don't touch this tile
-        return jax.lax.cond(ov_ref[0, c] > 0, do_chunk, lambda k: k, keybuf)
+        return jax.lax.cond(ov_ref[tile_id, c] > 0, do_chunk,
+                            lambda k: k, keybuf)
 
     init = jnp.full((tile_h, tile_w), _BIG_KEY, jnp.int32)
     out_ref[0] = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
@@ -154,8 +158,7 @@ def rasterize_keys(face_data, overlap, height, width, interpret=False):
         in_specs=[
             pl.BlockSpec((f, 16), lambda n, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, overlap.shape[1]),
-                         lambda n, i, j: (i * tx + j, 0),
+            pl.BlockSpec(overlap.shape, lambda n, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_h, tile_w),
