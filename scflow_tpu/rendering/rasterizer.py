@@ -147,6 +147,117 @@ def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
     return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
 
 
+@partial(jax.jit, static_argnames=("height", "width", "tile", "k_faces"))
+def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
+                     faces: jax.Array, face_valid: jax.Array,
+                     height: int, width: int, tile: int = 32,
+                     k_faces: int = 256):
+    """Tile-binned rasterization in pure XLA (single sample; vmap to batch).
+
+    Splits the image into (tile × tile) pixel tiles and rasterizes each
+    against only its top-``k_faces`` bbox-overlapping faces (selected with
+    one ``top_k`` + row-gather). Work drops from F×H×W to T×K×tile² —
+    5-10× for typical meshes — and invalid/backface-culled faces are never
+    selected at all, so culling translates into real savings (unlike the
+    dense scan path where masked faces still burn vector ops).
+
+    Semantics match :func:`rasterize`; faces beyond the per-tile budget are
+    dropped (budget is generous: K=256 faces on a 1024-px tile).
+    """
+    fcount = faces.shape[0]
+    tri_xy = verts_xy[faces]            # (F, 3, 2)
+    tri_z = verts_z[faces]              # (F, 3)
+    area = ((tri_xy[:, 1, 0] - tri_xy[:, 0, 0])
+            * (tri_xy[:, 2, 1] - tri_xy[:, 0, 1])
+            - (tri_xy[:, 1, 1] - tri_xy[:, 0, 1])
+            * (tri_xy[:, 2, 0] - tri_xy[:, 0, 0]))
+    ok = face_valid & (jnp.abs(area) > 1e-12) & (tri_z > 1e-6).all(axis=-1)
+
+    xmin = jnp.min(tri_xy[..., 0], axis=1)
+    xmax = jnp.max(tri_xy[..., 0], axis=1)
+    ymin = jnp.min(tri_xy[..., 1], axis=1)
+    ymax = jnp.max(tri_xy[..., 1], axis=1)
+
+    ty, tx = height // tile, width // tile
+    t_y0 = (jnp.arange(ty) * tile).astype(verts_xy.dtype)
+    t_x0 = (jnp.arange(tx) * tile).astype(verts_xy.dtype)
+    ovy = ((ymax[None, :] >= t_y0[:, None] - 0.5)
+           & (ymin[None, :] <= t_y0[:, None] + tile - 0.5))   # (ty, F)
+    ovx = ((xmax[None, :] >= t_x0[:, None] - 0.5)
+           & (xmin[None, :] <= t_x0[:, None] + tile - 0.5))   # (tx, F)
+    overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(ty * tx, fcount)
+
+    k_faces = min(k_faces, fcount)
+    score = overlap.astype(jnp.float32)
+    _, top_idx = jax.lax.top_k(score, k_faces)                # (T, K)
+    sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
+
+    # gather per-tile face packets: verts xy/z (+ id) — (T, K, ...)
+    sel_xy = tri_xy[top_idx]            # (T, K, 3, 2)
+    sel_z = tri_z[top_idx]              # (T, K, 3)
+    sel_area = area[top_idx]
+
+    id_bits = max(14, (fcount - 1).bit_length())
+    _BIG_KEY = jnp.int32(0x7F7F0000)
+
+    tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)
+
+    def one_tile(xy, z, a, valid, fids, tid):
+        y0 = (tid // tx) * tile
+        x0 = (tid % tx) * tile
+        pyl = (y0 + jnp.arange(tile)).astype(verts_xy.dtype)
+        pxl = (x0 + jnp.arange(tile)).astype(verts_xy.dtype)
+        pxx, pyy = jnp.meshgrid(pxl, pyl)
+
+        ax, ay = xy[:, 0, 0], xy[:, 0, 1]
+        bx, by = xy[:, 1, 0], xy[:, 1, 1]
+        cx, cy = xy[:, 2, 0], xy[:, 2, 1]
+
+        def edge(x0_, y0_, x1_, y1_):
+            return ((x1_ - x0_)[:, None, None] * (pyy[None] - y0_[:, None, None])
+                    - (y1_ - y0_)[:, None, None] * (pxx[None] - x0_[:, None, None]))
+
+        inv = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)[:, None, None]
+        w0 = edge(bx, by, cx, cy) * inv
+        w1 = edge(cx, cy, ax, ay) * inv
+        w2 = edge(ax, ay, bx, by) * inv
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[:, None, None]
+        zi = (w0 * z[:, 0, None, None] + w1 * z[:, 1, None, None]
+              + w2 * z[:, 2, None, None])
+        zkey = jax.lax.bitcast_convert_type(jnp.maximum(zi, 1e-30), jnp.int32)
+        key = ((zkey >> id_bits) << id_bits) | fids[:, None, None]
+        key = jnp.where(inside, key, _BIG_KEY)
+        return jnp.min(key, axis=0)                           # (tile, tile)
+
+    keys = jax.vmap(one_tile)(sel_xy, sel_z, sel_area, sel_valid,
+                              top_idx.astype(jnp.int32), tile_ids)
+    keys = keys.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3)
+    keys = keys.reshape(height, width)
+
+    bg = keys >= _BIG_KEY
+    face_id = jnp.where(bg, -1, keys & ((1 << id_bits) - 1))
+    safe_face = jnp.maximum(face_id, 0)
+
+    ys = jnp.arange(height, dtype=verts_xy.dtype)
+    xs = jnp.arange(width, dtype=verts_xy.dtype)
+    px, py = jnp.meshgrid(xs, ys)
+    triw = tri_xy[safe_face]                         # (H, W, 3, 2)
+    ax, ay = triw[..., 0, 0], triw[..., 0, 1]
+    bx, by = triw[..., 1, 0], triw[..., 1, 1]
+    cx, cy = triw[..., 2, 0], triw[..., 2, 1]
+    areaw = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv_area = jnp.where(jnp.abs(areaw) > 1e-12, 1.0 / areaw, 0.0)
+    e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
+    bary = jnp.where(bg[..., None], 0.0, bary)
+    zw = tri_z[safe_face]
+    zbuf = jnp.sum(bary * zw, axis=-1)
+    zbuf = jnp.where(bg, 0.0, zbuf)
+    return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
+
+
 def interpolate_face_attributes(face_id: jax.Array, bary: jax.Array,
                                 faces: jax.Array, vert_attrs: jax.Array):
     """Interpolate per-vertex attributes at rasterized pixels.

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .mesh import MeshBank
-from .rasterizer import interpolate_face_attributes, project_vertices, rasterize
+from .rasterizer import (interpolate_face_attributes, project_vertices,
+                         rasterize, rasterize_binned)
 from .shading import PhongParams, phong_shade
 
 
@@ -43,10 +44,13 @@ class Renderer:
     separate_lights: bool = True
     light_offset: float = 400.0
     face_chunk: int = 256
-    # Pallas tile-binned rasterizer (scflow_tpu.ops.rasterize_fast); falls
-    # back to the XLA scan rasterizer when False. Interpret mode is used
-    # automatically on CPU.
-    use_fast_rasterizer: bool = True
+    # 'binned' (XLA tile-binned top-K, default), 'scan' (dense XLA scan),
+    # or 'pallas' (Pallas tile kernel — compiles slowly through the current
+    # TPU toolchain; interpret mode on CPU).
+    rasterizer: str = "binned"
+    # 3D backface culling (normal · view direction). Exact-output 2× saving
+    # for closed consistently-wound meshes; disable for open/flipped meshes.
+    cull_backfaces: bool = True
 
     def __call__(self, rotations: jax.Array, translations: jax.Array,
                  k: jax.Array, labels: jax.Array) -> dict:
@@ -69,16 +73,27 @@ def _render(self: Renderer, rotations, translations, k, labels):
     verts, faces, face_valid, vert_normals, vert_colors = \
         self.mesh_bank.gather(labels)
 
-    use_fast = self.use_fast_rasterizer
+    rasterizer_kind = self.rasterizer
     interpret = jax.default_backend() == "cpu"
 
     def one(verts_i, faces_i, fvalid_i, normals_i, colors_i, r_i, t_i, k_i):
         xy, z = project_vertices(verts_i, r_i, t_i, k_i)
-        if use_fast:
+        if self.cull_backfaces:
+            # camera-frame face normal vs centroid direction: back faces of
+            # closed outward-normal meshes never win the z-test, so culling
+            # them is output-identical and halves rasterization work.
+            p_cam = verts_i @ r_i.T + t_i
+            tri = p_cam[faces_i]                       # (F, 3, 3)
+            fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            centroid = tri.mean(axis=1)
+            fvalid_i = fvalid_i & (jnp.sum(fn * centroid, axis=-1) < 0.0)
+        if rasterizer_kind == "pallas":
             from ..ops.rasterize_fast import rasterize_fast
 
             frag = rasterize_fast(xy, z, faces_i, fvalid_i, h, w,
                                   interpret=interpret)
+        elif rasterizer_kind == "binned":
+            frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w)
         else:
             frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
                              chunk=self.face_chunk)

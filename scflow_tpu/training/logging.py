@@ -1,0 +1,73 @@
+"""Training observability: scalar JSONL + image panel logging.
+
+The reference logs flow/image/mask panels to TensorBoard via a custom hook
+(models/utils/tensorboard_hook.py, base_refiner.py:297-357). Here panels are
+assembled host-side (flow→RGB with the invalid-sentinel convention) and
+written as PNGs under ``work_dir/images``; a TensorBoard writer is used too
+when the package is available.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..utils.flow_vis import flow_to_rgb
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+
+def make_train_panel(real_image, rendered_image, gt_flow, pose_flow,
+                     pred_flow, mask=None, max_flow: float = 400.0):
+    """Horizontal panel [real | render | gt flow | pose flow | pred flow
+    (| mask)] for one sample; all inputs HWC numpy, flows (H, W, 2)."""
+    cols = [
+        _to_u8(np.asarray(real_image)),
+        _to_u8(np.asarray(rendered_image)),
+        _to_u8(flow_to_rgb(np.asarray(gt_flow), unknown_thr=max_flow - 1)),
+        _to_u8(flow_to_rgb(np.asarray(pose_flow), unknown_thr=max_flow - 1)),
+        _to_u8(flow_to_rgb(np.asarray(pred_flow), unknown_thr=max_flow - 1)),
+    ]
+    if mask is not None:
+        m = np.asarray(mask)
+        cols.append(_to_u8(np.repeat(m[..., None], 3, axis=-1)))
+    return np.concatenate(cols, axis=1)
+
+
+class ImageLogger:
+    """Periodic image-panel logger (PNG + optional TensorBoard)."""
+
+    def __init__(self, work_dir: str, interval: int = 100):
+        self.image_dir = os.path.join(work_dir, "images")
+        self.interval = interval
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except ImportError:
+            pass
+
+    def should_log(self, step: int) -> bool:
+        return (step + 1) % self.interval == 0
+
+    def log_panel(self, step: int, name: str, panel: np.ndarray):
+        os.makedirs(self.image_dir, exist_ok=True)
+        path = os.path.join(self.image_dir, f"{name}_{step:08d}.png")
+        try:
+            import cv2
+
+            cv2.imwrite(path, panel[..., ::-1])
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(panel).save(path)
+        if self._tb is not None:
+            self._tb.add_image(name, panel, step, dataformats="HWC")
+
+    def log_scalars(self, step: int, scalars: dict):
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)

@@ -143,3 +143,38 @@ class TestRendererEndToEnd:
         # all camera-frame points within the mesh's distance bounds
         d = np.asarray(jnp.linalg.norm(pts_cam, axis=-1))[np.asarray(out["mask"][0])]
         assert d.min() > 500 and d.max() < 700
+
+
+class TestBinnedRasterizer:
+    """XLA tile-binned rasterizer must match the dense scan rasterizer."""
+
+    def _scene(self, seed=0, label=0):
+        from scflow_tpu.rendering import make_test_meshes
+        from scflow_tpu.rendering.rasterizer import project_vertices
+        bank = make_test_meshes(num_classes=2, subdivisions=2, radius=60.)
+        verts, faces = bank.verts[label], bank.faces[label]
+        fvalid = bank.face_valid[label]
+        r = random_rotation(jax.random.PRNGKey(seed), ())
+        t = jnp.asarray([0., 0., 600.])
+        k = jnp.asarray([[300., 0., 64.], [0., 300., 64.], [0., 0., 1.]])
+        xy, z = project_vertices(verts, r, t, k)
+        return xy, z, faces, fvalid
+
+    def test_matches_scan(self):
+        from scflow_tpu.rendering.rasterizer import rasterize, rasterize_binned
+        for seed in (0, 1):
+            xy, z, faces, fvalid = self._scene(seed)
+            ref = rasterize(xy, z, faces, fvalid, 128, 128)
+            out = rasterize_binned(xy, z, faces, fvalid, 128, 128)
+            m_ref = np.asarray(ref["face_id"]) >= 0
+            m_out = np.asarray(out["face_id"]) >= 0
+            assert (m_ref != m_out).mean() < 0.002
+            both = m_ref & m_out
+            dz = np.abs(np.asarray(ref["zbuf"]) - np.asarray(out["zbuf"]))[both]
+            assert np.median(dz) < 0.1 and np.quantile(dz, 0.99) < 2.0
+
+    def test_small_face_budget_still_covers(self):
+        from scflow_tpu.rendering.rasterizer import rasterize_binned
+        xy, z, faces, fvalid = self._scene()
+        out = rasterize_binned(xy, z, faces, fvalid, 128, 128, k_faces=512)
+        assert (np.asarray(out["face_id"]) >= 0).sum() > 500
