@@ -36,8 +36,9 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(cfg: Config):
     """AdamW + linear OneCycle + global-norm clip (reference recipe
     configs/refine_models/scflow_ycbv_pbr.py:282-303)."""
+    # floor the horizon: degenerate schedules (< ~20 steps) produce NaN lrs
     schedule = optax.linear_onecycle_schedule(
-        transition_steps=cfg.optim.total_steps,
+        transition_steps=max(cfg.optim.total_steps, 100),
         peak_value=cfg.optim.lr,
         pct_start=cfg.optim.pct_start,
         pct_final=1.0 - cfg.optim.pct_start,

@@ -92,7 +92,7 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, batch)
 
-            if (step + 1) % self.cfg.log_interval == 0:
+            if step == start or (step + 1) % self.cfg.log_interval == 0:
                 now = time.perf_counter()
                 scalars = {k: float(v) for k, v in metrics.items()
                            if np.ndim(v) == 0}
