@@ -190,6 +190,48 @@ def make_train_step(model: SCFlowRefiner, renderer: Renderer,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
+                                points_bank: PointsBank, cfg: Config, tx,
+                                cycles: int = 2):
+    """Multi-cycle training: loss/step, then re-render at the refined pose
+    and repeat (reference train_multiple_iterations,
+    base_refiner.py:254-281). The optimizer steps after every cycle; the
+    next cycle's reference pose is the detached last-iteration prediction.
+    """
+
+    def one_cycle(state: TrainState, batch):
+        rendered, depth, mask = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"],
+            cfg.data.normalize_mean, cfg.data.normalize_std)
+        full = dict(batch, rendered_images=rendered, rendered_depths=depth,
+                    rendered_masks=mask)
+        grad_fn = jax.value_and_grad(scflow_loss, has_aux=True)
+        (loss, (new_stats, metrics, outputs)), grads = grad_fn(
+            state.params, state.batch_stats, full, model=model,
+            points_bank=points_bank, cfg=cfg, train=True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt)
+        new_ref_r = jax.lax.stop_gradient(outputs.rotations[-1])
+        new_ref_t = jax.lax.stop_gradient(outputs.translations[-1])
+        return state, metrics, new_ref_r, new_ref_t
+
+    def train_step(state: TrainState, batch):
+        all_metrics = []
+        for _ in range(cycles):
+            state, metrics, ref_r, ref_t = one_cycle(state, batch)
+            batch = dict(batch, ref_rotations=ref_r, ref_translations=ref_t)
+            all_metrics.append(metrics)
+        merged = {f"cycle{i}_loss": m["loss"]
+                  for i, m in enumerate(all_metrics)}
+        merged.update(all_metrics[-1])
+        return state, merged
+
+    return jax.jit(train_step)
+
+
 def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     """Inference step: render at ref pose, refine, return last-iter pose.
 
@@ -215,5 +257,22 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
             "masks": outputs.masks[-1],
             "flow": outputs.flow_from_pred[-1],
         }
+
+    return jax.jit(eval_step)
+
+
+def make_multi_pass_eval_step(model: SCFlowRefiner, renderer: Renderer,
+                              cfg: Config, passes: int = 2):
+    """Multi-pass inference: refine, re-render at the refined pose, refine
+    again (reference forward_multiple_pass, base_refiner.py:283-294)."""
+    single = make_eval_step(model, renderer, cfg)
+
+    def eval_step(params, batch_stats, batch):
+        out = None
+        for _ in range(passes):
+            out = single(params, batch_stats, batch)
+            batch = dict(batch, ref_rotations=out["rotations"],
+                         ref_translations=out["translations"])
+        return out
 
     return jax.jit(eval_step)

@@ -114,3 +114,24 @@ class TestDataParallel:
         # params remain replicated (single logical copy)
         leaf = jax.tree.leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestMultiCycleAndMultiPass:
+    def test_multi_cycle_train_step(self, setup):
+        from scflow_tpu.training.steps import make_multi_cycle_train_step
+        cfg, bank, renderer, points, model, tx, state, batch = setup
+        step_fn = make_multi_cycle_train_step(model, renderer, points, cfg,
+                                              tx, cycles=2)
+        new_state, metrics = step_fn(state, batch)
+        assert int(new_state.step) == 2  # one optimizer step per cycle
+        assert np.isfinite(float(metrics["cycle0_loss"]))
+        assert np.isfinite(float(metrics["cycle1_loss"]))
+
+    def test_multi_pass_eval(self, setup):
+        from scflow_tpu.training.steps import make_multi_pass_eval_step
+        cfg, bank, renderer, points, model, tx, state, batch = setup
+        eval_fn = make_multi_pass_eval_step(model, renderer, cfg, passes=2)
+        out = eval_fn(state.params, state.batch_stats, batch)
+        r = np.asarray(out["rotations"])
+        np.testing.assert_allclose(r @ r.transpose(0, 2, 1),
+                                   np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
