@@ -14,6 +14,10 @@ import sys
 import time
 
 import jax
+
+from scflow_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 
 REFERENCE_FPS = 30.0

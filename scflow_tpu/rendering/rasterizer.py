@@ -203,31 +203,30 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
     tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)
 
     def one_tile(xy, z, a, valid, fids, tid):
+        # layout: (pixels=tile², faces=K) — faces ride the 128-lane axis so
+        # the VPU is fully utilized and the z-test is a lane reduction.
         y0 = (tid // tx) * tile
         x0 = (tid % tx) * tile
         pyl = (y0 + jnp.arange(tile)).astype(verts_xy.dtype)
         pxl = (x0 + jnp.arange(tile)).astype(verts_xy.dtype)
         pxx, pyy = jnp.meshgrid(pxl, pyl)
+        pxf = pxx.reshape(-1, 1)                 # (P, 1)
+        pyf = pyy.reshape(-1, 1)
 
-        ax, ay = xy[:, 0, 0], xy[:, 0, 1]
-        bx, by = xy[:, 1, 0], xy[:, 1, 1]
-        cx, cy = xy[:, 2, 0], xy[:, 2, 1]
+        ax, ay = xy[None, :, 0, 0], xy[None, :, 0, 1]   # (1, K)
+        bx, by = xy[None, :, 1, 0], xy[None, :, 1, 1]
+        cx, cy = xy[None, :, 2, 0], xy[None, :, 2, 1]
 
-        def edge(x0_, y0_, x1_, y1_):
-            return ((x1_ - x0_)[:, None, None] * (pyy[None] - y0_[:, None, None])
-                    - (y1_ - y0_)[:, None, None] * (pxx[None] - x0_[:, None, None]))
-
-        inv = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)[:, None, None]
-        w0 = edge(bx, by, cx, cy) * inv
-        w1 = edge(cx, cy, ax, ay) * inv
-        w2 = edge(ax, ay, bx, by) * inv
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[:, None, None]
-        zi = (w0 * z[:, 0, None, None] + w1 * z[:, 1, None, None]
-              + w2 * z[:, 2, None, None])
+        inv = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)[None, :]
+        w0 = ((cx - bx) * (pyf - by) - (cy - by) * (pxf - bx)) * inv
+        w1 = ((ax - cx) * (pyf - cy) - (ay - cy) * (pxf - cx)) * inv
+        w2 = ((bx - ax) * (pyf - ay) - (by - ay) * (pxf - ax)) * inv
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[None, :]
+        zi = (w0 * z[None, :, 0] + w1 * z[None, :, 1] + w2 * z[None, :, 2])
         zkey = jax.lax.bitcast_convert_type(jnp.maximum(zi, 1e-30), jnp.int32)
-        key = ((zkey >> id_bits) << id_bits) | fids[:, None, None]
+        key = ((zkey >> id_bits) << id_bits) | fids[None, :]
         key = jnp.where(inside, key, _BIG_KEY)
-        return jnp.min(key, axis=0)                           # (tile, tile)
+        return jnp.min(key, axis=1).reshape(tile, tile)
 
     keys = jax.vmap(one_tile)(sel_xy, sel_z, sel_area, sel_valid,
                               top_idx.astype(jnp.int32), tile_ids)

@@ -30,6 +30,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from scflow_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
 
     from scflow_tpu.data.bop import RefineDataset

@@ -46,6 +46,10 @@ def main():
 
     import jax
 
+    from scflow_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from scflow_tpu.rendering import Renderer, load_mesh_dir, make_test_meshes
     from scflow_tpu.training import (Config, DataConfig, ModelConfig,
                                      OptimConfig, build_points_bank,
