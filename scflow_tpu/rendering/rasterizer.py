@@ -187,9 +187,19 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
            & (xmin[None, :] <= t_x0[:, None] + tile - 0.5))   # (tx, F)
     overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(ty * tx, fcount)
 
+    # chunk-level selection: faces are index-coherent on real meshes, so
+    # culling at 8-face granularity is nearly as tight while the top_k sort
+    # shrinks 8× (sorts are the expensive part on TPU).
     k_faces = min(k_faces, fcount)
-    score = overlap.astype(jnp.float32)
-    _, top_idx = jax.lax.top_k(score, k_faces)                # (T, K)
+    chunk = 8
+    if fcount % chunk == 0 and k_faces % chunk == 0:
+        ov_chunks = overlap.reshape(ty * tx, fcount // chunk, chunk).any(-1)
+        _, top_c = jax.lax.top_k(ov_chunks.astype(jnp.float32),
+                                 k_faces // chunk)             # (T, K/8)
+        top_idx = (top_c[..., None] * chunk
+                   + jnp.arange(chunk)).reshape(ty * tx, k_faces)
+    else:
+        _, top_idx = jax.lax.top_k(overlap.astype(jnp.float32), k_faces)
     sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
 
     # gather per-tile face packets: verts xy/z (+ id) — (T, K, ...)
