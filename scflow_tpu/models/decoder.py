@@ -58,6 +58,7 @@ class _SCFlowIteration(nn.Module):
     depth_transform: str
     detach_depth_for_xy: bool
     invalid_flow_num: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, carry, pyramid, cxt_feat, label, k, points_3d, valid):
@@ -76,18 +77,25 @@ class _SCFlowIteration(nn.Module):
         if self.mask_corr:
             corr = corr * mask
         motion_in_flow = flow_small * mask if self.mask_flow else flow_small
-        motion = MotionEncoder(self.net_type, name="motion")(corr, motion_in_flow)
+        motion = MotionEncoder(self.net_type, dtype=self.dtype,
+                               name="motion")(corr, motion_in_flow)
         x = jnp.concatenate([cxt_feat, motion], axis=-1)
-        h_feat = ConvGRU(_H_CHANNELS[self.net_type], name="gru")(h_feat, x)
+        h_feat = ConvGRU(_H_CHANNELS[self.net_type], dtype=self.dtype,
+                         name="gru")(h_feat, x)
 
-        delta_flow = XHead((256,), 2, "flow", name="flow_head")(h_feat)
-        mask = nn.sigmoid(XHead((256,), 1, "mask", name="mask_head")(h_feat))
+        delta_flow = XHead((256,), 2, "flow", dtype=self.dtype,
+                           name="flow_head")(h_feat)
+        mask = nn.sigmoid(XHead((256,), 1, "mask", dtype=self.dtype,
+                                name="mask_head")(h_feat))
 
-        dflow_feat = FlowMaskEmbed((128, 64), (7, 3), name="dflow_embed")(delta_flow)
-        mask_feat = FlowMaskEmbed((64, 32), (3, 3), name="mask_embed")(mask)
+        dflow_feat = FlowMaskEmbed((128, 64), (7, 3), dtype=self.dtype,
+                                   name="dflow_embed")(delta_flow)
+        mask_feat = FlowMaskEmbed((64, 32), (3, 3), dtype=self.dtype,
+                                  name="mask_embed")(mask)
         drot, dtrans = PoseHead(self.num_class, self.rotation_mode,
-                                name="pose_head")(
-            jnp.concatenate([h_feat, dflow_feat, mask_feat], axis=-1), label)
+                                dtype=self.dtype, name="pose_head")(
+            jnp.concatenate([h_feat.astype(dflow_feat.dtype), dflow_feat,
+                             mask_feat], axis=-1), label)
 
         flow_pred = upsample_flow(flow_small + delta_flow, scale)
         up_mask = resize_bilinear_align_corners(mask, (h_img, w_img))
@@ -128,6 +136,7 @@ class SCFlowDecoder(nn.Module):
     rotation_mode: str = "ortho6d"
     depth_transform: str = "exp"
     detach_depth_for_xy: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat_render, feat_real, h_feat, cxt_feat,
@@ -161,9 +170,13 @@ class SCFlowDecoder(nn.Module):
         _, points_3d, valid = depth_to_correspondences(
             depth, k, ref_rotation, ref_translation)
 
+        # flow/mask/pose stay float32 (geometry precision); only the conv
+        # stack runs in self.dtype.
         if init_flow is None:
-            init_flow = jnp.zeros((n, h_img, w_img, 2), feat_render.dtype)
-        init_mask = jnp.ones((n, hf, wf, 1), feat_render.dtype)
+            init_flow = jnp.zeros((n, h_img, w_img, 2), jnp.float32)
+        init_mask = jnp.ones((n, hf, wf, 1), jnp.float32)
+        if self.dtype is not None:
+            h_feat = h_feat.astype(self.dtype)
 
         carry = (h_feat, init_flow, init_mask, ref_rotation, ref_translation)
 
@@ -177,7 +190,8 @@ class SCFlowDecoder(nn.Module):
         )(self.net_type, self.num_levels, self.radius, self.detach_flow,
           self.detach_mask, self.detach_pose, self.mask_flow, self.mask_corr,
           self.num_class, self.rotation_mode, self.depth_transform,
-          self.detach_depth_for_xy, invalid_flow_num, name="iteration")
+          self.detach_depth_for_xy, invalid_flow_num, self.dtype,
+          name="iteration")
 
         _, outs = scan(carry, pyramid, cxt_feat, label, k, points_3d, valid)
         return SCFlowOutputs(*outs)

@@ -16,6 +16,7 @@ _KERNELS = {"Conv": [(3, 3)], "SeqConv": [(1, 5), (5, 1)]}
 class ConvGRU(nn.Module):
     h_channels: int = 128
     net_type: str = "SeqConv"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h, x):
@@ -26,7 +27,8 @@ class ConvGRU(nn.Module):
 
             def conv(name, inp):
                 return nn.Conv(self.h_channels, kern, padding=pad,
-                               kernel_init=init, name=f"{name}_{i}")(inp)
+                               kernel_init=init, dtype=self.dtype,
+                               name=f"{name}_{i}")(inp)
 
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(conv("conv_z", hx))

@@ -29,17 +29,21 @@ _MOTION = {
 class MotionEncoder(nn.Module):
     """corr + flow → motion features; output concatenates raw flow."""
     net_type: str = "Basic"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, corr, flow):
         corr_ch, corr_k, flow_ch, flow_k, out_ch = _MOTION[self.net_type]
+        if self.dtype is not None:
+            corr = corr.astype(self.dtype)
+            flow = flow.astype(self.dtype)
         c = corr
         for i, (ch, k) in enumerate(zip(corr_ch, corr_k)):
-            c = ConvBlock(ch, (k, k), name=f"corr_conv{i}")(c)
+            c = ConvBlock(ch, (k, k), dtype=self.dtype, name=f"corr_conv{i}")(c)
         f = flow
         for i, (ch, k) in enumerate(zip(flow_ch, flow_k)):
-            f = ConvBlock(ch, (k, k), name=f"flow_conv{i}")(f)
-        out = ConvBlock(out_ch, (3, 3), name="out_conv")(
+            f = ConvBlock(ch, (k, k), dtype=self.dtype, name=f"flow_conv{i}")(f)
+        out = ConvBlock(out_ch, (3, 3), dtype=self.dtype, name="out_conv")(
             jnp.concatenate([c, f], axis=-1))
         return jnp.concatenate([out, flow], axis=-1)
 
@@ -49,18 +53,22 @@ class MotionEncoder(nn.Module):
 
 
 class XHead(nn.Module):
-    """Conv head for flow (2ch) / mask (1ch) / upsample-mask predictions."""
+    """Conv head for flow (2ch) / mask (1ch) / upsample-mask predictions.
+
+    The predict conv always emits float32 (flow/mask values feed geometry)."""
     feat_channels: Sequence[int] = (256,)
     out_channels: int = 2
     kind: str = "flow"  # 'flow' | 'mask' (mask uses a 1×1 predict conv)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for i, ch in enumerate(self.feat_channels):
-            x = ConvBlock(ch, (3, 3), name=f"conv{i}")(x)
+            x = ConvBlock(ch, (3, 3), dtype=self.dtype, name=f"conv{i}")(x)
         k = (1, 1) if self.kind == "mask" else (3, 3)
         pad = ((k[0] // 2,) * 2, (k[1] // 2,) * 2)
-        return nn.Conv(self.out_channels, k, padding=pad, name="predict")(x)
+        return nn.Conv(self.out_channels, k, padding=pad,
+                       name="predict")(x.astype(jnp.float32))
 
 
 def _identity_rotation_bias(rotation_mode: str, num_class: int = 1):
@@ -85,15 +93,17 @@ class PoseHead(nn.Module):
     rotation_mode: str = "ortho6d"
     conv_channels: Sequence[int] = (128, 128, 128)
     fc_channels: Sequence[int] = (1024, 256)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, label):
         for i, ch in enumerate(self.conv_channels):
-            x = ConvBlock(ch, (3, 3), stride=2, norm="gn",
+            x = ConvBlock(ch, (3, 3), stride=2, norm="gn", dtype=self.dtype,
                           name=f"conv{i}")(x)
         x = x.reshape(x.shape[0], -1)
         for i, ch in enumerate(self.fc_channels):
-            x = nn.relu(nn.Dense(ch, name=f"fc{i}")(x))
+            x = nn.relu(nn.Dense(ch, dtype=self.dtype, name=f"fc{i}")(x))
+        x = x.astype(jnp.float32)  # pose deltas feed SE(3) math in f32
 
         rot_dim = 4 if self.rotation_mode == "quaternion" else 6
         rot = nn.Dense(
@@ -122,9 +132,12 @@ class FlowMaskEmbed(nn.Module):
     (reference scflow_decoder.py:103-106 delta_flow_encoder/mask_encoder)."""
     channels: Sequence[int] = (128, 64)
     kernels: Sequence[int] = (7, 3)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (ch, k) in enumerate(zip(self.channels, self.kernels)):
-            x = ConvBlock(ch, (k, k), name=f"conv{i}")(x)
+            x = ConvBlock(ch, (k, k), dtype=self.dtype, name=f"conv{i}")(x)
         return x

@@ -27,7 +27,11 @@ def instance_norm(channels: int, name: str | None = None) -> nn.Module:
 
 
 class ConvBlock(nn.Module):
-    """conv → (norm) → (act): the mmcv ``ConvModule`` equivalent."""
+    """conv → (norm) → (act): the mmcv ``ConvModule`` equivalent.
+
+    ``dtype`` is the compute dtype (bf16 for the TPU fast path); params and
+    norm statistics stay float32.
+    """
     features: int
     kernel: tuple[int, int] = (3, 3)
     stride: int = 1
@@ -35,12 +39,14 @@ class ConvBlock(nn.Module):
     act: Callable | None = nn.relu   # None for linear
     gn_groups: int = 32
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = ((self.kernel[0] // 2,) * 2, (self.kernel[1] // 2,) * 2)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding=pad, use_bias=self.use_bias, name="conv")(x)
+                    padding=pad, use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv")(x)
         if self.norm == "in":
             x = nn.GroupNorm(num_groups=self.features, name="norm")(x)
         elif self.norm == "bn":
@@ -57,17 +63,18 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     norm: str = "in"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out = ConvBlock(self.features, (3, 3), self.stride, norm=self.norm,
-                        name="conv1")(x, train)
+                        dtype=self.dtype, name="conv1")(x, train)
         out = ConvBlock(self.features, (3, 3), 1, norm=self.norm, act=None,
-                        name="conv2")(out, train)
+                        dtype=self.dtype, name="conv2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = ConvBlock(self.features, (1, 1), self.stride,
-                                 norm=self.norm, act=None,
+                                 norm=self.norm, act=None, dtype=self.dtype,
                                  name="downsample")(x, train)
         return nn.relu(out + identity)
 

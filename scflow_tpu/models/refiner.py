@@ -39,17 +39,21 @@ class SCFlowRefiner(nn.Module):
     detach_depth_for_xy: bool = True
     mask_flow: bool = False
     mask_corr: bool = False
+    dtype: object = None       # bf16 compute fast path (params stay f32)
 
     def setup(self):
         self.render_encoder = RAFTEncoder(self.feat_channels, self.net_type,
-                                          norm="in", name="render_encoder")
+                                          norm="in", dtype=self.dtype,
+                                          name="render_encoder")
         if self.separate_encoder:
             self.real_encoder = RAFTEncoder(self.feat_channels, self.net_type,
-                                            norm="in", name="real_encoder")
+                                            norm="in", dtype=self.dtype,
+                                            name="real_encoder")
         else:
             self.real_encoder = self.render_encoder
         self.context = RAFTEncoder(self.h_channels + self.cxt_channels,
-                                   self.net_type, norm="bn", name="context")
+                                   self.net_type, norm="bn", dtype=self.dtype,
+                                   name="context")
         self.decoder = SCFlowDecoder(
             net_type=self.net_type, num_levels=self.num_levels,
             radius=self.radius, iters=self.iters, num_class=self.num_class,
@@ -57,7 +61,7 @@ class SCFlowRefiner(nn.Module):
             depth_transform=self.depth_transform,
             detach_depth_for_xy=self.detach_depth_for_xy,
             mask_flow=self.mask_flow, mask_corr=self.mask_corr,
-            name="decoder")
+            dtype=self.dtype, name="decoder")
 
     def extract_feat(self, render_images, real_images, train: bool = False):
         """(render feat, real feat, GRU h, context) — scflow_refiner.py:84-106."""

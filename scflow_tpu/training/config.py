@@ -32,6 +32,9 @@ class ModelConfig:
     mask_corr: bool = False
     max_flow: float = 400.0
     filter_invalid_flow: bool = True
+    # compute dtype for the conv/matmul stack: 'float32' | 'bfloat16'
+    # (params and all geometry/pose math stay float32)
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass

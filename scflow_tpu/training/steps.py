@@ -55,6 +55,7 @@ def make_optimizer(cfg: Config):
 
 def build_model(cfg: Config) -> SCFlowRefiner:
     m = cfg.model
+    dtype = jnp.bfloat16 if m.dtype == "bfloat16" else None
     return SCFlowRefiner(
         num_class=m.num_class, separate_encoder=m.separate_encoder,
         h_channels=m.h_channels, cxt_channels=m.cxt_channels,
@@ -62,7 +63,7 @@ def build_model(cfg: Config) -> SCFlowRefiner:
         num_levels=m.num_levels, radius=m.radius, iters=m.iters,
         rotation_mode=m.rotation_mode, depth_transform=m.depth_transform,
         detach_depth_for_xy=m.detach_depth_for_xy,
-        mask_flow=m.mask_flow, mask_corr=m.mask_corr)
+        mask_flow=m.mask_flow, mask_corr=m.mask_corr, dtype=dtype)
 
 
 def init_train_state(cfg: Config, model: SCFlowRefiner, tx, rng,

@@ -223,3 +223,21 @@ class TestRAFTRefiner:
         flows, occs = model.apply(variables, render, real)
         assert flows.shape == (3, N, H, W, 2)
         assert occs.shape == (3, N, H, W, 1)
+
+
+class TestBF16Path:
+    def test_bf16_forward_close_to_f32(self):
+        model32 = SCFlowRefiner(num_class=2, iters=2)
+        model16 = SCFlowRefiner(num_class=2, iters=2, dtype=jnp.bfloat16)
+        render, real, r, t, depth, label = small_inputs()
+        v = model32.init(jax.random.PRNGKey(0), render, real, r, t, depth,
+                         K_INTR, label)
+        out32 = model32.apply(v, render, real, r, t, depth, K_INTR, label)
+        out16 = model16.apply(v, render, real, r, t, depth, K_INTR, label)
+        # identity-initialized pose head → poses identical; activations close
+        np.testing.assert_allclose(np.asarray(out16.rotations),
+                                   np.asarray(out32.rotations), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out16.translations),
+                                   np.asarray(out32.translations), rtol=2e-2)
+        assert out16.rotations.dtype == jnp.float32
+        assert out16.flow_from_pose.dtype == jnp.float32
