@@ -1,0 +1,182 @@
+"""Distributed pose-graph refinement over multi-object scenes.
+
+BASELINE extension (no reference counterpart — SURVEY.md §2.10): after
+per-object refinement, objects observed in the same image share a rigid
+scene: jointly optimizing all object poses plus a per-scene camera
+correction tightens poses using cross-object consistency.
+
+Structure: a camera correction is gauge-equivalent to composing every
+object pose, so the joint (δc, δp_i) Gauss-Newton system is singular; we
+solve it as the regularized limit — alternating block descent:
+
+  1. **camera step**: the reduced camera system (the Schur complement with
+     objects held at their prior) — normal-equation blocks summed over all
+     objects,  (Σ_i H_i + λI) δc = Σ_i b_i;
+  2. **object step**: independent local GN solves per object at the
+     corrected camera.
+
+The camera-step Σ_i reductions are plain sums over the object axis, so the
+distributed variant shards objects over a mesh and reduces with one
+``psum`` per term (:func:`solve_pose_graph_sharded`); object solves stay
+shard-local. Shared scene error flows into the consensus camera block,
+idiosyncratic error into the per-object blocks.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.rotation import axis_angle_to_matrix
+
+
+def _object_jacobian(points, r, t, k, weights, eps=1e-6):
+    """Per-object GN blocks for reprojection residuals w.r.t. the object
+    pose (left-multiplied axis-angle + translation) AND a shared camera
+    correction applied on the camera side.
+
+    points: (P, 3) object-frame; observations come from ``target_2d``.
+    Returns per-point jacobians j_obj (2P, 6), j_cam (2P, 6).
+    """
+    p_cam = points @ r.T + t
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    zi = 1.0 / jnp.maximum(z, eps)
+    fu, fv = k[0, 0], k[1, 1]
+    du = jnp.stack([fu * zi, jnp.zeros_like(zi), -fu * x * zi * zi], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(zi), fv * zi, -fv * y * zi * zi], axis=-1)
+    px = jnp.stack([
+        jnp.zeros_like(x), -z, y,
+        z, jnp.zeros_like(x), -x,
+        -y, x, jnp.zeros_like(x)], axis=-1).reshape(-1, 3, 3)
+    # object pose perturbation: p_cam' = exp(ω)ₗ (R p + t_obj-part...) — both
+    # the object pose and camera correction act on camera-frame points, so
+    # their point jacobians coincide; they are distinguished by sharing: the
+    # camera block is common to all objects of the scene.
+    j_rot_u = -jnp.einsum("ni,nij->nj", du, px)
+    j_rot_v = -jnp.einsum("ni,nij->nj", dv, px)
+    j_u = jnp.concatenate([j_rot_u, du], axis=-1)
+    j_v = jnp.concatenate([j_rot_v, dv], axis=-1)
+    j = jnp.concatenate([j_u, j_v], axis=0)          # (2P, 6)
+    w = jnp.concatenate([weights, weights], axis=0)[:, None]
+    return j * jnp.sqrt(jnp.maximum(w, 0.0))
+
+
+def _residuals(points, target_2d, r, t, k, weights, eps=1e-8):
+    p_cam = points @ r.T + t
+    uvw = p_cam @ k.T
+    xy = uvw[:, :2] / (uvw[:, 2:3] + eps)
+    res = xy - target_2d
+    w = jnp.sqrt(jnp.maximum(weights, 0.0))[:, None]
+    return (res * w).T.reshape(-1)                    # (2P,) [all-u, all-v]
+
+
+def _gn_blocks(points, target_2d, r, t, k, weights, damping):
+    """One object's GN blocks: H_ii, H_ic (=H_ii by shared jacobian), b_i."""
+    j = _object_jacobian(points, r, t, k, weights)
+    res = _residuals(points, target_2d, r, t, k, weights)
+    h = j.T @ j
+    b = -(j.T @ res)
+    h_damped = h + damping * jnp.eye(6, dtype=h.dtype)
+    return h_damped, h, b
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
+                     object_valid=None, damping: float = 1e-3,
+                     iterations: int = 3):
+    """Joint scene refinement: shared camera correction + per-object poses.
+
+    Args:
+      points: (N, P, 3) object-frame points per object.
+      target_2d: (N, P, 2) observed pixel targets (e.g. flow-displaced).
+      rotations/(N,3,3), translations/(N,3): current object poses.
+      k: (3, 3) shared intrinsics.
+      weights: (N, P) per-point confidence (0 disables).
+      object_valid: (N,) 0/1 mask for padded object slots.
+
+    Returns dict(rotations, translations, camera_rotation,
+    camera_translation): refined object poses with the shared camera
+    correction folded in.
+    """
+    n = points.shape[0]
+    ov = jnp.ones((n,)) if object_valid is None else object_valid
+
+    def apply_cam(dc, r, t):
+        dr = axis_angle_to_matrix(dc[:3])
+        return (jnp.einsum("ij,njk->nik", dr, r),
+                jnp.einsum("ij,nj->ni", dr, t) + dc[3:])
+
+    def step(carry, _):
+        r, t, cam_r, cam_t = carry
+        # camera step: reduced system summed over all objects
+        h_ii, _, b_i = jax.vmap(
+            lambda p, o, rr, tt, w: _gn_blocks(p, o, rr, tt, k, w, damping)
+        )(points, target_2d, r, t, weights)
+        h_c = jnp.sum(h_ii * ov[:, None, None], axis=0)
+        b_c = jnp.sum(b_i * ov[:, None], axis=0)
+        delta_c = jnp.linalg.solve(h_c + damping * jnp.eye(6), b_c)
+        r, t = apply_cam(delta_c, r, t)
+        cam_r = axis_angle_to_matrix(delta_c[:3]) @ cam_r
+        cam_t = axis_angle_to_matrix(delta_c[:3]) @ cam_t + delta_c[3:]
+
+        # object step: local solves at the corrected camera
+        h_ii, _, b_i = jax.vmap(
+            lambda p, o, rr, tt, w: _gn_blocks(p, o, rr, tt, k, w, damping)
+        )(points, target_2d, r, t, weights)
+        delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
+        delta_p = delta_p * ov[:, None]
+        dr = axis_angle_to_matrix(delta_p[:, :3])
+        r = jnp.einsum("nij,njk->nik", dr, r)
+        t = jnp.einsum("nij,nj->ni", dr, t) + delta_p[:, 3:]
+        return (r, t, cam_r, cam_t), None
+
+    init = (rotations, translations, jnp.eye(3), jnp.zeros(3))
+    (r, t, cam_r, cam_t), _ = jax.lax.scan(step, init, None, length=iterations)
+    return {"rotations": r, "translations": t,
+            "camera_rotation": cam_r, "camera_translation": cam_t}
+
+
+def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
+                             weights, mesh, axis_name: str = "data",
+                             damping: float = 1e-3, iterations: int = 3):
+    """Distributed variant: objects sharded over the mesh's data axis; the
+    Schur reductions become psums, back-substitution stays shard-local."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(pts, tgt, r, t, w):
+        def apply_cam(dc, rr, tt):
+            dr = axis_angle_to_matrix(dc[:3])
+            return (jnp.einsum("ij,njk->nik", dr, rr),
+                    jnp.einsum("ij,nj->ni", dr, tt) + dc[3:])
+
+        def step(carry, _):
+            rr, tt = carry
+            h_ii, _, b_i = jax.vmap(
+                lambda p, o, a, b, ww: _gn_blocks(p, o, a, b, k, ww, damping)
+            )(pts, tgt, rr, tt, w)
+            # global camera reductions over ALL objects: psum over the mesh
+            h_c = jax.lax.psum(jnp.sum(h_ii, axis=0), axis_name)
+            b_c = jax.lax.psum(jnp.sum(b_i, axis=0), axis_name)
+            delta_c = jnp.linalg.solve(h_c + damping * jnp.eye(6), b_c)
+            rr, tt = apply_cam(delta_c, rr, tt)
+
+            h_ii, _, b_i = jax.vmap(
+                lambda p, o, a, b, ww: _gn_blocks(p, o, a, b, k, ww, damping)
+            )(pts, tgt, rr, tt, w)
+            delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
+            dr = axis_angle_to_matrix(delta_p[:, :3])
+            rr = jnp.einsum("nij,njk->nik", dr, rr)
+            tt = jnp.einsum("nij,nj->ni", dr, tt) + delta_p[:, 3:]
+            return (rr, tt), None
+
+        (rr, tt), _ = jax.lax.scan(step, (r, t), None, length=iterations)
+        return rr, tt
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                             P(axis_name), P(axis_name)),
+                   out_specs=(P(axis_name), P(axis_name)))
+    r_out, t_out = fn(points, target_2d, rotations, translations, weights)
+    return {"rotations": r_out, "translations": t_out}
