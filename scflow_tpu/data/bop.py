@@ -254,3 +254,20 @@ class RefineDataset(BaseBopDataset):
             out["gt_translations"] = np.stack(gt_ts) if gt_ts else np.zeros((0, 3), np.float32)
             out["gt_labels"] = np.asarray(gt_labels, np.int64)
         return out
+
+
+class ConcatDataset:
+    """Concatenation of several datasets (the mmengine ConcatDataset
+    analogue used by the fork's real-mix-syn recipe,
+    configs/refine_models/scflow_lumi_piano_real_mix_syn.py:98-129)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int):
+        i = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return self.datasets[i][index - int(self._offsets[i])]

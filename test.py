@@ -9,12 +9,15 @@ import argparse
 
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate an SCFlow-TPU refiner")
+    p.add_argument("--config", default=None,
+                   help="named recipe from scflow_tpu.configs; supplies the "
+                        "test dataset paths unless overridden")
     p.add_argument("--checkpoint", required=False, default=None)
     p.add_argument("--work-dir", default="work_dirs/scflow")
-    p.add_argument("--data-root", required=True)
-    p.add_argument("--ref-annots-root", required=True)
-    p.add_argument("--image-list", required=True)
-    p.add_argument("--mesh-dir", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--ref-annots-root", default=None)
+    p.add_argument("--image-list", default=None)
+    p.add_argument("--mesh-dir", default=None)
     p.add_argument("--mesh-ext", default="ply")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--num-classes", type=int, default=21)
@@ -30,6 +33,19 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.config:
+        from scflow_tpu.configs import get_recipe
+
+        spec = get_recipe(args.config).test_data
+        args.data_root = args.data_root or spec.data_roots[0]
+        args.ref_annots_root = args.ref_annots_root or spec.ref_annots_root
+        args.image_list = args.image_list or spec.image_lists[0]
+        if args.mesh_dir is None:
+            args.mesh_dir, args.mesh_ext = spec.mesh_dir, spec.mesh_ext
+    for field in ("data_root", "ref_annots_root", "image_list", "mesh_dir"):
+        if getattr(args, field) is None:
+            raise SystemExit(f"--{field.replace('_', '-')} is required "
+                             "(or pass --config <recipe>)")
     from scflow_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

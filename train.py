@@ -1,10 +1,13 @@
 """Training CLI — the reference ``train.py`` equivalent.
 
 Examples:
+  # named recipe (the reference `--config configs/...py` analogue)
+  python train.py --config scflow_ycbv_pbr
+
   # synthetic smoke training (no dataset needed)
   python train.py --synthetic --steps 200 --work-dir work_dirs/smoke
 
-  # YCB-V PBR recipe (BOP layout on disk)
+  # explicit paths (overrides any recipe)
   python train.py --data-root data/ycbv/train_pbr \
       --image-list data/ycbv/image_lists/train_pbr.txt \
       --mesh-dir data/ycbv/models_1024 --work-dir work_dirs/scflow_ycbv
@@ -14,27 +17,60 @@ Examples:
       SCFLOW_COORDINATOR=host0:9999 python train.py ...
 """
 import argparse
-import os
 
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train an SCFlow-TPU refiner")
-    p.add_argument("--work-dir", default="work_dirs/scflow")
+    p.add_argument("--config", default=None,
+                   help="named recipe from scflow_tpu.configs (e.g. "
+                        "scflow_ycbv_pbr, raft_ycbv, scflow_track_real)")
+    p.add_argument("--work-dir", default=None)
     p.add_argument("--steps", type=int, default=None)
-    p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--image-size", type=int, default=256)
-    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="train on on-device synthetic scenes (no data needed)")
-    p.add_argument("--num-classes", type=int, default=21)
+    p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--data-root", default=None)
     p.add_argument("--image-list", default=None)
     p.add_argument("--mesh-dir", default=None)
-    p.add_argument("--mesh-ext", default="ply")
+    p.add_argument("--mesh-ext", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
+
+
+def resolve_config(args):
+    """Recipe config (if --config) with explicit CLI flags layered on top."""
+    from scflow_tpu.configs import get_recipe
+
+    if args.config:
+        recipe = get_recipe(args.config)
+        cfg, train_spec = recipe.config, recipe.train_data
+    else:
+        from scflow_tpu.training import Config
+
+        cfg, train_spec = Config(), None
+
+    m, o, d = cfg.model, cfg.optim, cfg.data
+    if args.num_classes is not None:
+        m.num_class = args.num_classes
+    if args.iters is not None:
+        m.iters = m.test_iters = args.iters
+    if args.lr is not None:
+        o.lr = args.lr
+    if args.steps is not None:
+        o.total_steps = args.steps
+    if args.batch_size is not None:
+        d.batch_size = args.batch_size
+    if args.image_size is not None:
+        d.image_scale = args.image_size
+    if args.work_dir is not None:
+        cfg.work_dir = args.work_dir
+    cfg.seed = args.seed
+    return cfg, train_spec
 
 
 def main():
@@ -51,40 +87,41 @@ def main():
     enable_compilation_cache()
 
     from scflow_tpu.rendering import Renderer, load_mesh_dir, make_test_meshes
-    from scflow_tpu.training import (Config, DataConfig, ModelConfig,
-                                     OptimConfig, build_points_bank,
+    from scflow_tpu.training import (build_points_bank,
                                      YCBV_SYMMETRIC_CLASSES,
                                      YCBV_MESH_DIAMETERS)
     from scflow_tpu.training.trainer import Trainer
 
-    cfg = Config(
-        model=ModelConfig(num_class=args.num_classes, iters=args.iters,
-                          test_iters=args.iters),
-        optim=OptimConfig(lr=args.lr,
-                          total_steps=args.steps or 100_000),
-        data=DataConfig(batch_size=args.batch_size,
-                        image_scale=args.image_size),
-        seed=args.seed,
-        work_dir=args.work_dir,
-    )
+    cfg, train_spec = resolve_config(args)
+    num_classes = cfg.model.num_class
+    image_size = cfg.data.image_scale
 
-    if args.mesh_dir:
-        bank = load_mesh_dir(args.mesh_dir, ext=args.mesh_ext)
-        symmetric = YCBV_SYMMETRIC_CLASSES if args.num_classes == 21 else ()
-        diameters = (YCBV_MESH_DIAMETERS if args.num_classes == 21 else None)
+    mesh_dir = args.mesh_dir or (train_spec.mesh_dir if train_spec else None)
+    mesh_ext = args.mesh_ext or (train_spec.mesh_ext if train_spec else "ply")
+    if args.synthetic and mesh_dir and not __import__("os").path.isdir(mesh_dir):
+        mesh_dir = None  # smoke mode without the recipe's meshes on disk
+    if mesh_dir:
+        bank = load_mesh_dir(mesh_dir, ext=mesh_ext)
+        if train_spec is not None:
+            symmetric = train_spec.symmetric_classes
+            diameters = train_spec.diameters
+        else:
+            symmetric = YCBV_SYMMETRIC_CLASSES if num_classes == 21 else ()
+            diameters = YCBV_MESH_DIAMETERS if num_classes == 21 else None
     else:
-        bank = make_test_meshes(num_classes=args.num_classes, subdivisions=2)
+        bank = make_test_meshes(num_classes=num_classes, subdivisions=2)
         symmetric, diameters = (), None
 
-    renderer = Renderer(bank, image_size=(args.image_size, args.image_size))
+    renderer = Renderer(bank, image_size=(image_size, image_size))
     points = build_points_bank(bank, symmetric_classes=symmetric,
                                diameters=diameters,
                                num_points=cfg.loss.num_loss_points)
     trainer = Trainer(cfg, renderer, points)
 
-    if args.synthetic or not args.data_root:
+    use_disk_data = (args.data_root is not None or
+                     (train_spec is not None and not args.synthetic))
+    if not use_disk_data:
         from scflow_tpu.data import synthetic_batch
-        from scflow_tpu.training import render_at_pose
 
         def get_batch(step):
             return synthetic_batch(jax.random.PRNGKey(cfg.seed * 1000_003 + step),
@@ -94,14 +131,19 @@ def main():
     else:
         import numpy as np
 
-        from scflow_tpu.data.bop import SuperviseTrainDataset
+        from scflow_tpu.configs.build import build_dataset
         from scflow_tpu.data.loader import TrainBatchBuilder, prefetch
         from scflow_tpu.training import YCBV_CLASS_NAMES
 
-        dataset = SuperviseTrainDataset(
-            args.data_root, args.image_list,
-            class_names=YCBV_CLASS_NAMES,
-            min_visib_fract=cfg.data.min_visib_fract, seed=cfg.seed)
+        if args.data_root is not None:
+            from scflow_tpu.data.bop import SuperviseTrainDataset
+
+            dataset = SuperviseTrainDataset(
+                args.data_root, args.image_list,
+                class_names=YCBV_CLASS_NAMES,
+                min_visib_fract=cfg.data.min_visib_fract, seed=cfg.seed)
+        else:
+            dataset = build_dataset(train_spec, seed=cfg.seed)
         mesh_points = [np.asarray(points.points[c]) for c in
                        range(bank.num_classes)]
         builder = TrainBatchBuilder(dataset, cfg, mesh_points,
@@ -123,7 +165,7 @@ def main():
     if args.resume:
         trainer.resume()
 
-    trainer.fit(get_batch, num_steps=args.steps)
+    trainer.fit(get_batch, num_steps=cfg.optim.total_steps)
 
 
 if __name__ == "__main__":
