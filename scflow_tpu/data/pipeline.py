@@ -170,3 +170,193 @@ def normalize_image(img: np.ndarray, mean=(0., 0., 0.),
     mean/std giving [0, 1] images, configs/..._pbr.py:41-42,75)."""
     return ((img.astype(np.float32) - np.asarray(mean, np.float32))
             / np.asarray(std, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Pose remapping under a 2D transform (reference RemapPose,
+# datasets/pipelines/geometry_transform.py:22-150, and its test-time inverse
+# models/utils/pose.py:264-309).
+#
+# Three geometry_transform modes:
+# - 'adapt_intrinsic' (default path above): fold the 2D crop transform into
+#   the intrinsics (K' = T @ K); the pose is untouched, so mapping results
+#   back to the original resolution is the identity on (R, t).
+# - 'keep_intrinsic': keep K; re-solve (R, t) so projection under K matches
+#   the transformed 2D keypoints (EPnP + Gauss-Newton).
+# - 'target_intrinsic': re-solve (R, t) against a caller-supplied target K.
+# ---------------------------------------------------------------------------
+
+def _refine_pose_gn_np(r: np.ndarray, t: np.ndarray, pts: np.ndarray,
+                       pix: np.ndarray, k: np.ndarray, iters: int = 20):
+    """Float64 Gauss-Newton on reprojection error (host-side PnP refine).
+
+    Left-multiplied axis-angle delta on R, additive t — same
+    parameterization as scflow_tpu.geometry.pnp.refine_pose_gn, but in f64
+    for cv2-class accuracy.
+    """
+    fu, fv = k[0, 0], k[1, 1]
+
+    def residual(r, t):
+        cam = pts @ r.T + t
+        zi = 1.0 / np.maximum(cam[:, 2], 1e-9)
+        return np.concatenate([
+            fu * cam[:, 0] * zi + k[0, 2] - pix[:, 0],
+            fv * cam[:, 1] * zi + k[1, 2] - pix[:, 1]])
+
+    lam = 1e-6
+    cost = float(np.sum(residual(r, t) ** 2))
+    for _ in range(iters):
+        cam = pts @ r.T + t
+        x, y, z = cam[:, 0], cam[:, 1], cam[:, 2]
+        zi = 1.0 / np.maximum(z, 1e-9)
+        res = residual(r, t)
+        du = np.stack([fu * zi, np.zeros_like(zi), -fu * x * zi * zi], -1)
+        dv = np.stack([np.zeros_like(zi), fv * zi, -fv * y * zi * zi], -1)
+        px = np.zeros((len(pts), 3, 3))
+        px[:, 0, 1], px[:, 0, 2] = -z, y
+        px[:, 1, 0], px[:, 1, 2] = z, -x
+        px[:, 2, 0], px[:, 2, 1] = -y, x
+        j_u = np.concatenate([-np.einsum("ni,nij->nj", du, px), du], -1)
+        j_v = np.concatenate([-np.einsum("ni,nij->nj", dv, px), dv], -1)
+        jac = np.concatenate([j_u, j_v], axis=0)
+        jtj = jac.T @ jac
+        jtr = jac.T @ res
+        # Levenberg-Marquardt with step acceptance (a far init otherwise
+        # diverges; the reference relies on cv2's LM doing the same)
+        for _try in range(8):
+            delta = -np.linalg.solve(jtj + lam * np.diag(np.diag(jtj))
+                                     + 1e-12 * np.eye(6), jtr)
+            w = delta[:3]
+            angle = np.linalg.norm(w)
+            if angle > 1e-14:
+                ax = w / angle
+                kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                               [-ax[1], ax[0], 0]])
+                dr = (np.eye(3) + np.sin(angle) * kx
+                      + (1 - np.cos(angle)) * kx @ kx)
+            else:
+                dr = np.eye(3)
+            r_new, t_new = dr @ r, t + delta[3:]
+            cost_new = float(np.sum(residual(r_new, t_new) ** 2))
+            if cost_new <= cost:
+                r, t, cost = r_new, t_new, cost_new
+                lam = max(lam * 0.3, 1e-12)
+                break
+            lam *= 10.0
+        if np.abs(delta).max() < 1e-12:
+            break
+    return r, t
+
+
+def _solve_pnp_np(pts: np.ndarray, pix: np.ndarray, k: np.ndarray,
+                  init_r: np.ndarray | None = None,
+                  init_t: np.ndarray | None = None):
+    """Host-side float64 PnP: cv2 if available, else JAX EPnP init + f64 LM."""
+    try:
+        import cv2
+
+        ok, rvec, tvec = cv2.solvePnP(
+            pts.reshape(-1, 1, 3).astype(np.float64),
+            np.ascontiguousarray(pix).reshape(-1, 1, 2).astype(np.float64),
+            np.asarray(k, np.float64), np.zeros(5),
+            flags=cv2.SOLVEPNP_ITERATIVE)
+        if ok:
+            rm, _ = cv2.Rodrigues(rvec)
+            return rm, tvec.ravel()
+    except ImportError:
+        pass
+    if init_r is None:
+        import jax.numpy as jnp
+
+        from scflow_tpu.geometry.pnp import epnp
+
+        init_r, init_t = epnp(jnp.asarray(pts, jnp.float32),
+                              jnp.asarray(pix, jnp.float32),
+                              jnp.asarray(k, jnp.float32))
+        init_r = np.asarray(init_r, np.float64)
+        init_t = np.asarray(init_t, np.float64)
+    return _refine_pose_gn_np(init_r, init_t, pts, pix,
+                              np.asarray(k, np.float64))
+
+
+def remap_pose(rotation: np.ndarray, translation: np.ndarray,
+               keypoints_3d: np.ndarray, k_src: np.ndarray,
+               transform: np.ndarray, k_dst: np.ndarray):
+    """Re-solve a pose after a 2D affine ``transform`` of the image.
+
+    Projects ``keypoints_3d`` under (``k_src``, pose), applies ``transform``
+    to the 2D points, and solves PnP under ``k_dst``. Returns
+    (rotation, translation, rmsd) where rmsd is the reprojection RMS error
+    of the re-solved pose (the reference returns the analogous
+    retval/diff from cv2.solvePnP, datasets/pose.py:80-104).
+    """
+    pts = np.asarray(keypoints_3d, np.float64)
+    cam = pts @ np.asarray(rotation, np.float64).T + np.asarray(
+        translation, np.float64)
+    uv = cam[:, :2] / np.maximum(cam[:, 2:3], 1e-9)
+    pix = uv * np.array([k_src[0, 0], k_src[1, 1]]) + np.array(
+        [k_src[0, 2], k_src[1, 2]])
+    ones = np.ones((len(pix), 1))
+    pix_t = (np.concatenate([pix, ones], axis=1) @ np.asarray(
+        transform, np.float64).T)[:, :2]
+
+    r_new, t_new = _solve_pnp_np(pts, pix_t, k_dst)
+    r_new = r_new.astype(np.float32)
+    t_new = t_new.astype(np.float32)
+
+    cam2 = pts @ r_new.astype(np.float64).T + t_new.astype(np.float64)
+    uv2 = cam2[:, :2] / np.maximum(cam2[:, 2:3], 1e-9)
+    pix2 = uv2 * np.array([k_dst[0, 0], k_dst[1, 1]]) + np.array(
+        [k_dst[0, 2], k_dst[1, 2]])
+    rmsd = float(np.sqrt(np.mean(np.sum((pix2 - pix_t) ** 2, axis=1))))
+    return r_new, t_new, rmsd
+
+
+def remap_pose_to_origin_resolution(rotation: np.ndarray,
+                                    translation: np.ndarray,
+                                    keypoints_3d: np.ndarray,
+                                    k_crop: np.ndarray,
+                                    transform: np.ndarray,
+                                    k_origin: np.ndarray,
+                                    mode: str = "adapt_intrinsic"):
+    """Map a pose predicted on the crop back to the original image.
+
+    ``transform`` is the accumulated crop 3x3; ``mode`` must match how the
+    crop was produced (reference remap_pose_to_origin_resoluaion,
+    models/utils/pose.py:264-309).
+    """
+    if mode == "adapt_intrinsic":
+        # K was adapted; the pose already lives in the original camera.
+        return (np.asarray(rotation, np.float32),
+                np.asarray(translation, np.float32), 0.0)
+    if mode in ("keep_intrinsic", "target_intrinsic"):
+        inv = np.linalg.inv(np.asarray(transform, np.float64))
+        return remap_pose(rotation, translation, keypoints_3d, k_crop, inv,
+                          k_origin)
+    raise ValueError(f"unknown geometry transform mode {mode!r}")
+
+
+def apply_geometry_transform_mode(crop: CropResult, rotation: np.ndarray,
+                                  translation: np.ndarray,
+                                  keypoints_3d: np.ndarray,
+                                  k_src: np.ndarray, mode: str,
+                                  target_k: np.ndarray | None = None):
+    """Resolve (pose, intrinsics) for a crop under one of the three
+    RemapPose modes (geometry_transform.py:22-150).
+
+    Returns (rotation, translation, k) to use for the crop patch.
+    """
+    if mode == "adapt_intrinsic":
+        return (np.asarray(rotation, np.float32),
+                np.asarray(translation, np.float32),
+                crop.k_new.astype(np.float32))
+    if mode == "keep_intrinsic":
+        r, t, _ = remap_pose(rotation, translation, keypoints_3d, k_src,
+                             crop.transform, k_src)
+        return r, t, np.asarray(k_src, np.float32)
+    if mode == "target_intrinsic":
+        assert target_k is not None, "target_intrinsic needs target_k"
+        r, t, _ = remap_pose(rotation, translation, keypoints_3d, k_src,
+                             crop.transform, target_k)
+        return r, t, np.asarray(target_k, np.float32)
+    raise ValueError(f"unknown geometry transform mode {mode!r}")

@@ -132,6 +132,23 @@ def disentangled_point_matching_loss(pred_r, pred_t, gt_r, gt_t, points,
     return (loss_rot + loss_trans) / diameters
 
 
+def rot_point_matching_loss(pred_r, gt_r, points, point_valid, symmetric,
+                            diameters, loss_type: str = "l1"):
+    """Rotation-only point matching (reference RotPointMatchingLoss,
+    point_matching_loss.py:222-291): compare rotated point clouds with no
+    translation; symmetric classes use closest-point matching.
+    Returns (N,) per-sample normalized loss."""
+    ord_ = 1 if loss_type == "l1" else 2
+    pred = jnp.einsum("nij,npj->npi", pred_r, points)
+    target = jnp.einsum("nij,npj->npi", gt_r, points)
+    matched = jax.vmap(_nearest_match)(target, pred, point_valid)
+    pred_use = jnp.where(symmetric[:, None, None], matched, pred)
+    dist = jnp.linalg.norm(pred_use - target, ord=ord_, axis=-1)
+    w = point_valid.astype(dist.dtype)
+    mean = jnp.sum(dist * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    return mean / diameters
+
+
 def sequence_pose_loss(seq_r, seq_t, gt_r, gt_t, points, point_valid,
                        symmetric, diameters, gamma: float = 0.8,
                        loss_weight: float = 10.0, loss_type: str = "l1",

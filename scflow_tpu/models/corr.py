@@ -100,3 +100,35 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
         # samp: (B, Kx, Jy) → order taps (dy, dx) row-major
         out.append(jnp.swapaxes(samp, -1, -2).reshape(n, h, w, k * k))
     return jnp.concatenate(out, axis=-1)
+
+
+def local_correlation(feat1: jax.Array, feat2: jax.Array,
+                      max_displacement: int = 4,
+                      normalize: bool = True) -> jax.Array:
+    """Windowed (local) correlation between two NHWC feature maps.
+
+    The mmcv CUDA ``Correlation`` op / reference ``CorrBlock`` analogue
+    (models/utils/corr_block.py:9-109 — registered but unused by shipped
+    configs; provided for capability parity). For each pixel, correlates
+    feat1 with feat2 shifted by every (dy, dx) in
+    [-max_displacement, max_displacement]^2; output channel order is
+    (dy, dx) row-major.
+
+    TPU-first formulation: static shift loop (compile-time unrolled into
+    (2r+1)^2 fused elementwise-reduce ops — no gathers), channels last.
+
+    Returns (N, H, W, (2r+1)^2).
+    """
+    if normalize:
+        feat1 = feat1 / (jnp.linalg.norm(feat1, axis=-1, keepdims=True) + 1e-6)
+        feat2 = feat2 / (jnp.linalg.norm(feat2, axis=-1, keepdims=True) + 1e-6)
+    n, h, w, c = feat1.shape
+    r = max_displacement
+    pad = jnp.pad(feat2, ((0, 0), (r, r), (r, r), (0, 0)))
+    out = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = jax.lax.dynamic_slice(
+                pad, (0, r + dy, r + dx, 0), (n, h, w, c))
+            out.append(jnp.sum(feat1 * shifted, axis=-1))
+    return jnp.stack(out, axis=-1) / jnp.sqrt(jnp.asarray(c, feat1.dtype))

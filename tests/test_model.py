@@ -241,3 +241,66 @@ class TestBF16Path:
                                    np.asarray(out32.translations), rtol=2e-2)
         assert out16.rotations.dtype == jnp.float32
         assert out16.flow_from_pose.dtype == jnp.float32
+
+
+class TestLocalCorrelation:
+    def test_zero_shift_matches_dot(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from scflow_tpu.models.corr import local_correlation
+
+        rng = np.random.default_rng(0)
+        f1 = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+        out = local_correlation(f1, f2, max_displacement=2, normalize=False)
+        assert out.shape == (2, 8, 8, 25)
+        # center tap (dy=0, dx=0) == plain dot / sqrt(C)
+        center = np.asarray(out[..., 12])
+        expect = np.asarray(jnp.sum(f1 * f2, -1) / jnp.sqrt(16.0))
+        np.testing.assert_allclose(center, expect, atol=1e-5)
+
+    def test_shift_alignment(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from scflow_tpu.models.corr import local_correlation
+
+        # feat2 = feat1 shifted right by 1 → the (dy=0, dx=1) tap should be
+        # the self-correlation peak
+        rng = np.random.default_rng(1)
+        f1 = jnp.asarray(rng.normal(size=(1, 8, 8, 8)), jnp.float32)
+        f2 = jnp.roll(f1, shift=1, axis=2)
+        out = np.asarray(local_correlation(f1, f2, max_displacement=1))
+        # taps: (dy,dx) row-major over 3x3 → dx=+1, dy=0 is index 5
+        interior = out[0, 2:6, 2:6]
+        assert (interior.argmax(-1) == 5).mean() > 0.9
+
+    def test_rot_point_matching_loss(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from scflow_tpu.losses import rot_point_matching_loss
+
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.normal(scale=30, size=(2, 64, 3)), jnp.float32)
+        eye = jnp.tile(jnp.eye(3)[None], (2, 1, 1))
+        a = np.deg2rad(10.0)
+        rz = jnp.asarray([[np.cos(a), -np.sin(a), 0],
+                          [np.sin(a), np.cos(a), 0], [0, 0, 1]], jnp.float32)
+        pred = jnp.stack([jnp.eye(3), rz])
+        valid = jnp.ones((2, 64), bool)
+        sym = jnp.zeros((2,), bool)
+        diam = jnp.full((2,), 100.0)
+        loss = rot_point_matching_loss(pred, eye, pts, valid, sym, diam)
+        assert float(loss[0]) < 1e-6     # identity → zero
+        assert float(loss[1]) > 1e-3     # rotated → positive
+        # symmetric matching with pred==gt → ~0 even under z-rotation for a
+        # z-symmetric cloud
+        ring = jnp.asarray(
+            np.stack([np.cos(np.linspace(0, 2 * np.pi, 64, endpoint=False)),
+                      np.sin(np.linspace(0, 2 * np.pi, 64, endpoint=False)),
+                      np.zeros(64)], -1) * 50, jnp.float32)[None]
+        loss_sym = rot_point_matching_loss(
+            pred[1:], eye[:1], ring, valid[:1], jnp.ones((1,), bool), diam[:1])
+        assert float(loss_sym[0]) < 0.05

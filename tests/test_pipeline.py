@@ -11,6 +11,13 @@ from scflow_tpu.training.config import JitterConfig
 K = np.array([[500., 0., 320.], [0., 500., 240.], [0., 0., 1.]], np.float32)
 
 
+def _rotation_z(deg: float) -> np.ndarray:
+    a = np.deg2rad(deg)
+    return np.array([[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0],
+                     [0, 0, 1]], np.float32)
+
+
 def random_pose(seed=0):
     from scipy.spatial.transform import Rotation
 
@@ -114,3 +121,67 @@ class TestBatching:
         img = np.full((4, 4, 3), 255, np.uint8)
         out = normalize_image(img)
         np.testing.assert_allclose(out, 1.0)
+
+
+class TestRemapPose:
+    def _setup(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-40, 40, (64, 3)).astype(np.float32)
+        r = _rotation_z(30.0)
+        t = np.array([10.0, -5.0, 500.0], np.float32)
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                     np.float32)
+        return pts, r, t, k
+
+    def test_keep_intrinsic_roundtrip(self):
+        from scflow_tpu.data.pipeline import (remap_pose,
+                                              remap_pose_to_origin_resolution)
+
+        pts, r, t, k = self._setup()
+        # crop transform: translate by (-100, -60) then scale 0.5
+        transform = np.array([[0.5, 0, -50], [0, 0.5, -30], [0, 0, 1]],
+                             np.float32)
+        r2, t2, rmsd = remap_pose(r, t, pts, k, transform, k)
+        # scale-0.5 with fixed K is not exactly realizable by any pose
+        # (perspective); cv2 lands at ~1.0 px RMS for this geometry too
+        assert rmsd < 2.0
+        # 0.5x scale pushes the object ~2x away
+        assert 1.8 < t2[2] / t[2] < 2.3
+        # mapping back with the inverse transform recovers the pose (the
+        # inverse problem IS exactly realizable — optimum = original pose)
+        r3, t3, rmsd3 = remap_pose_to_origin_resolution(
+            r2, t2, pts, k, transform, k, mode="keep_intrinsic")
+        assert rmsd3 < 2.5
+        np.testing.assert_allclose(r3, r, atol=1e-2)
+        np.testing.assert_allclose(t3, t, rtol=1e-2, atol=0.5)
+
+    def test_adapt_intrinsic_is_identity(self):
+        from scflow_tpu.data.pipeline import remap_pose_to_origin_resolution
+
+        pts, r, t, k = self._setup()
+        r2, t2, rmsd = remap_pose_to_origin_resolution(
+            r, t, pts, k, np.eye(3), k, mode="adapt_intrinsic")
+        np.testing.assert_allclose(r2, r)
+        np.testing.assert_allclose(t2, t)
+        assert rmsd == 0.0
+
+    def test_target_intrinsic(self):
+        from scflow_tpu.data.pipeline import remap_pose
+
+        pts, r, t, k = self._setup()
+        target_k = np.array([[800.0, 0, 128], [0, 800.0, 128], [0, 0, 1]],
+                            np.float32)
+        # identity 2D transform, new K: projection under (r2,t2,target_k)
+        # must match projection under (r,t,k)
+        r2, t2, rmsd = remap_pose(r, t, pts, k, np.eye(3), target_k)
+        assert rmsd < 2.0
+
+    def test_unknown_mode(self):
+        from scflow_tpu.data.pipeline import remap_pose_to_origin_resolution
+
+        pts, r, t, k = self._setup()
+        import pytest
+
+        with pytest.raises(ValueError):
+            remap_pose_to_origin_resolution(r, t, pts, k, np.eye(3), k,
+                                            mode="bogus")
