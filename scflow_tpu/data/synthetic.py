@@ -17,6 +17,8 @@ from ..geometry.rotation import axis_angle_to_matrix, random_rotation
 from ..rendering.renderer import Renderer
 from ..training.config import JitterConfig
 
+from ..utils.precision import f32_matmuls
+
 
 def default_intrinsics(image_size: tuple[int, int], focal: float = 500.0):
     h, w = image_size
@@ -24,6 +26,7 @@ def default_intrinsics(image_size: tuple[int, int], focal: float = 500.0):
                         [0.0, 0.0, 1.0]], jnp.float32)
 
 
+@f32_matmuls
 def jitter_pose(key, rotations, translations, cfg: JitterConfig):
     """Gaussian SE(3) jitter, batched: random-axis rotation with clipped
     Gaussian angle, clipped Gaussian xyz translation offsets."""

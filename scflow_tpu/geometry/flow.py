@@ -22,9 +22,12 @@ import jax.numpy as jnp
 
 from .projection import pixel_grid, project_points, unproject_depth
 
+from ..utils.precision import f32_matmuls
+
 DEFAULT_INVALID_FLOW = 400.0
 
 
+@f32_matmuls
 def flow_from_pose_and_points(rotation_dst: jax.Array, translation_dst: jax.Array,
                               k: jax.Array, points_3d: jax.Array, valid: jax.Array,
                               invalid_num: float = DEFAULT_INVALID_FLOW,
@@ -55,6 +58,7 @@ def flow_from_pose_and_points(rotation_dst: jax.Array, translation_dst: jax.Arra
     return jnp.where(valid[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
 
 
+@f32_matmuls
 def flow_from_pose_and_depth(rotation_src: jax.Array, translation_src: jax.Array,
                              rotation_dst: jax.Array, translation_dst: jax.Array,
                              depth_src: jax.Array, k: jax.Array,

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .rotation import axis_angle_to_matrix, matrix_to_axis_angle
+from ..utils.precision import f32_matmuls
 
 _EPS = 1e-9
 
@@ -67,6 +68,7 @@ def _barycentric(points_3d: jax.Array, ctrl: jax.Array) -> jax.Array:
     return alpha.T
 
 
+@f32_matmuls
 def epnp(points_3d: jax.Array, points_2d: jax.Array, k: jax.Array,
          weights: jax.Array | None = None):
     """Single-sample EPnP (N=1 kernel) with Kabsch closure.
@@ -126,6 +128,7 @@ def reprojection_residual(r, t, points_3d, points_2d, k, eps=1e-8):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@f32_matmuls
 def refine_pose_gn(r, t, points_3d, points_2d, k, weights=None, iters: int = 5,
                    damping: float = 1e-6):
     """Gauss-Newton (Levenberg-ish damped) refinement of a pose on
@@ -182,6 +185,7 @@ def solve_pnp(points_3d, points_2d, k, weights=None, refine_iters: int = 5):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "refine_iters"))
+@f32_matmuls
 def ransac_pnp(key: jax.Array, points_3d: jax.Array, points_2d: jax.Array,
                k: jax.Array, weights: jax.Array | None = None,
                num_hypotheses: int = 64, sample_size: int = 6,

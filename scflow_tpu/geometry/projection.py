@@ -10,7 +10,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
 
+
+@f32_matmuls
 def project_points(points_3d: jax.Array, k: jax.Array, rotation: jax.Array,
                    translation: jax.Array, eps: float = 1e-8):
     """Project object-frame 3D points to pixels.
@@ -40,6 +43,7 @@ def pixel_grid(height: int, width: int, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([gx, gy], axis=-1)
 
 
+@f32_matmuls
 def unproject_depth(depth: jax.Array, k: jax.Array, rotation: jax.Array | None = None,
                     translation: jax.Array | None = None, eps: float = 1e-8):
     """Lift a dense depth map to 3D points.
@@ -74,6 +78,7 @@ def unproject_depth(depth: jax.Array, k: jax.Array, rotation: jax.Array | None =
     return pts_cam, pts_obj
 
 
+@f32_matmuls
 def depth_to_correspondences(depth: jax.Array, k: jax.Array, rotation: jax.Array,
                              translation: jax.Array):
     """Dense (2D, 3D, valid) correspondence grids from a rendered depth map.

@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 _EPS = 1e-8
 
 
@@ -24,6 +26,7 @@ def normalize(v: jax.Array, axis: int = -1, eps: float = _EPS) -> jax.Array:
     return v / jnp.maximum(n, eps)
 
 
+@f32_matmuls
 def quaternion_to_matrix(quat: jax.Array) -> jax.Array:
     """Convert (..., 4) quaternions in (x, y, z, w) order to (..., 3, 3) matrices.
 
@@ -85,6 +88,7 @@ def matrix_to_quaternion(m: jax.Array) -> jax.Array:
     return normalize(q)
 
 
+@f32_matmuls
 def ortho6d_to_matrix(ortho6d: jax.Array) -> jax.Array:
     """Gram-Schmidt a (..., 6) continuous rotation rep into (..., 3, 3).
 
@@ -104,6 +108,7 @@ def matrix_to_ortho6d(m: jax.Array) -> jax.Array:
     return jnp.concatenate([m[..., :, 0], m[..., :, 1]], axis=-1)
 
 
+@f32_matmuls
 def axis_angle_to_matrix(axis_angle: jax.Array) -> jax.Array:
     """Rodrigues formula for (..., 3) axis-angle vectors → (..., 3, 3)."""
     angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
@@ -136,6 +141,7 @@ def matrix_to_axis_angle(m: jax.Array) -> jax.Array:
     return axis * angle[..., None]
 
 
+@f32_matmuls
 def rotation_angle_deg(r1: jax.Array, r2: jax.Array) -> jax.Array:
     """Geodesic angle in degrees between two batches of rotation matrices.
 
@@ -147,6 +153,7 @@ def rotation_angle_deg(r1: jax.Array, r2: jax.Array) -> jax.Array:
     return jnp.degrees(jnp.arccos(cos))
 
 
+@f32_matmuls
 def random_rotation(key: jax.Array, batch_shape: tuple = ()) -> jax.Array:
     """Uniformly random rotation matrices for tests (via random quaternions)."""
     q = jax.random.normal(key, batch_shape + (4,))

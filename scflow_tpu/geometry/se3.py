@@ -12,7 +12,10 @@ import jax.numpy as jnp
 
 from .rotation import ortho6d_to_matrix, quaternion_to_matrix, rotation_angle_deg
 
+from ..utils.precision import f32_matmuls
 
+
+@f32_matmuls
 def compose_delta_pose(
     rotation_delta: jax.Array,
     translation_delta: jax.Array,
@@ -63,12 +66,14 @@ def compose_delta_pose(
     return rotation_dst, translation_dst
 
 
+@f32_matmuls
 def transform_points(rotation: jax.Array, translation: jax.Array,
                      points: jax.Array) -> jax.Array:
     """Apply (..., 3, 3) @ (..., N, 3) + (..., 3) → (..., N, 3)."""
     return jnp.einsum("...ij,...nj->...ni", rotation, points) + translation[..., None, :]
 
 
+@f32_matmuls
 def invert_pose(rotation: jax.Array, translation: jax.Array):
     """Inverse of p → R p + t: (Rᵀ, -Rᵀ t)."""
     r_inv = jnp.swapaxes(rotation, -1, -2)
@@ -76,6 +81,7 @@ def invert_pose(rotation: jax.Array, translation: jax.Array):
     return r_inv, t_inv
 
 
+@f32_matmuls
 def relative_pose(r_a, t_a, r_b, t_b):
     """Pose taking frame-b coordinates to frame-a: (R_a R_bᵀ, t_a - R_a R_bᵀ t_b)."""
     r_rel = jnp.matmul(r_a, jnp.swapaxes(r_b, -1, -2))
@@ -88,11 +94,13 @@ def translation_error(t1: jax.Array, t2: jax.Array) -> jax.Array:
     return jnp.linalg.norm(t1 - t2, axis=-1)
 
 
+@f32_matmuls
 def pose_error(r_pred, t_pred, r_gt, t_gt):
     """(rotation angle deg, translation distance)."""
     return rotation_angle_deg(r_pred, r_gt), translation_error(t_pred, t_gt)
 
 
+@f32_matmuls
 def add_error(r_pred, t_pred, r_gt, t_gt, points):
     """ADD error: mean distance between mesh points under pred vs gt pose.
 
@@ -104,6 +112,7 @@ def add_error(r_pred, t_pred, r_gt, t_gt, points):
     return jnp.mean(jnp.linalg.norm(p_pred - p_gt, axis=-1), axis=-1)
 
 
+@f32_matmuls
 def adds_error(r_pred, t_pred, r_gt, t_gt, points):
     """ADD-S error: symmetric closest-point mean distance.
 

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import transform_points
 
+from ..utils.precision import f32_matmuls
+
 _EPS = 1e-10
 
 
@@ -67,6 +69,7 @@ def _nearest_match(target: jax.Array, pred: jax.Array,
     return pred[idx]
 
 
+@f32_matmuls
 def point_matching_loss(pred_r, pred_t, gt_r, gt_t, points, point_valid,
                         symmetric, diameters, loss_type: str = "l2"):
     """ADD-style pose loss, batched (reference PointMatchingLoss).
@@ -91,6 +94,7 @@ def point_matching_loss(pred_r, pred_t, gt_r, gt_t, points, point_valid,
     return mean / diameters
 
 
+@f32_matmuls
 def disentangled_point_matching_loss(pred_r, pred_t, gt_r, gt_t, points,
                                      point_valid, symmetric, diameters,
                                      loss_type: str = "l1",
@@ -132,6 +136,7 @@ def disentangled_point_matching_loss(pred_r, pred_t, gt_r, gt_t, points,
     return (loss_rot + loss_trans) / diameters
 
 
+@f32_matmuls
 def rot_point_matching_loss(pred_r, gt_r, points, point_valid, symmetric,
                             diameters, loss_type: str = "l1"):
     """Rotation-only point matching (reference RotPointMatchingLoss,

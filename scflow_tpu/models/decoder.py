@@ -63,9 +63,11 @@ class _SCFlowIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, pyramid, cxt_feat, label, k, points_3d, valid):
         h_feat, flow, mask, rot, trans = carry
-        scale = 2 ** (self.num_levels - 1)
         n, hf, wf, _ = cxt_feat.shape
         h_img, w_img = flow.shape[1], flow.shape[2]
+        # image/feature ratio = encoder stride (8, or 4 for stride4 nets);
+        # NOT 2**(num_levels-1), which only coincides at num_levels=4
+        scale = h_img // hf
 
         if self.detach_flow:
             flow = jax.lax.stop_gradient(flow)
@@ -80,7 +82,7 @@ class _SCFlowIteration(nn.Module):
         motion = MotionEncoder(self.net_type, dtype=self.dtype,
                                name="motion")(corr, motion_in_flow)
         x = jnp.concatenate([cxt_feat, motion], axis=-1)
-        h_feat = ConvGRU(_H_CHANNELS[self.net_type], dtype=self.dtype,
+        h_feat = ConvGRU(h_feat.shape[-1], dtype=self.dtype,
                          name="gru")(h_feat, x)
 
         delta_flow = XHead((256,), 2, "flow", dtype=self.dtype,
@@ -159,8 +161,7 @@ class SCFlowDecoder(nn.Module):
           iters: optional override of scan length (test-time iters).
         """
         n, h_img, w_img = depth.shape
-        scale = 2 ** (self.num_levels - 1)
-        hf, wf = h_img // scale, w_img // scale
+        hf, wf = feat_render.shape[1], feat_render.shape[2]
         num_iters = self.iters if iters is None else iters
 
         pyramid = correlation_pyramid(feat_render, feat_real, self.num_levels)
@@ -204,22 +205,23 @@ class _RAFTIteration(nn.Module):
     radius: int
     predict_mask: bool
     convex_upsample: bool
+    upsample_factor: int = 8  # encoder stride (raft_encoder.py:172-175)
 
     @nn.compact
     def __call__(self, carry, pyramid, cxt_feat):
         h_feat, flow = carry  # flow at feature resolution
-        scale = 2 ** (self.num_levels - 1)
+        scale = self.upsample_factor
         flow = jax.lax.stop_gradient(flow)
         corr = corr_lookup(pyramid, flow, radius=self.radius)
         motion = MotionEncoder(self.net_type, name="motion")(corr, flow)
         x = jnp.concatenate([cxt_feat, motion], axis=-1)
-        h_feat = ConvGRU(_H_CHANNELS[self.net_type], name="gru")(h_feat, x)
+        h_feat = ConvGRU(h_feat.shape[-1], name="gru")(h_feat, x)
         delta_flow = XHead((256,), 2, "flow", name="flow_head")(h_feat)
         flow = flow + delta_flow
 
-        grid = 2 * self.radius + 1  # 9-way convex combination
         if self.convex_upsample and self.net_type == "Basic":
-            up_weights = 0.25 * XHead((256,), 64 * grid, "mask",
+            # 9-way convex combination per upsampled pixel: 9·scale² weights
+            up_weights = 0.25 * XHead((256,), 9 * scale * scale, "mask",
                                       name="up_mask_head")(h_feat)
             upflow = convex_upsample(flow, up_weights, scale)
         else:
@@ -268,6 +270,7 @@ class RAFTDecoder(nn.Module):
     iters: int = 12
     predict_mask: bool = False
     convex_upsample: bool = True
+    upsample_factor: int = 8  # encoder stride
 
     @nn.compact
     def __call__(self, feat1, feat2, h_feat, cxt_feat, init_flow=None,
@@ -287,6 +290,6 @@ class RAFTDecoder(nn.Module):
             out_axes=0,
             length=num_iters,
         )(self.net_type, self.num_levels, self.radius, self.predict_mask,
-          self.convex_upsample, name="iteration")
+          self.convex_upsample, self.upsample_factor, name="iteration")
         _, (flows, occs) = scan(carry, pyramid, cxt_feat)
         return flows, occs

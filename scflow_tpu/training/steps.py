@@ -20,7 +20,7 @@ from flax import struct
 
 from ..geometry.flow import filter_flow_by_mask, flow_from_pose_and_depth
 from ..losses import sequence_flow_loss, sequence_mask_loss, sequence_pose_loss
-from ..models.refiner import SCFlowRefiner
+from ..models.refiner import RAFTRefiner, SCFlowRefiner
 from ..rendering.renderer import Renderer
 from .config import Config
 from .points_bank import PointsBank
@@ -53,9 +53,21 @@ def make_optimizer(cfg: Config):
     return tx, schedule
 
 
-def build_model(cfg: Config) -> SCFlowRefiner:
+def build_model(cfg: Config):
+    """Model-family dispatch (the reference selects the refiner class by
+    config ``type=``, configs/refine_models/*.py): 'scflow' → SCFlowRefiner,
+    'raft_flow'/'raft_flow_mask' → RAFTRefiner (pose via PnP at test)."""
     m = cfg.model
     dtype = jnp.bfloat16 if m.dtype == "bfloat16" else None
+    if m.family in ("raft_flow", "raft_flow_mask"):
+        return RAFTRefiner(
+            separate_encoder=m.separate_encoder,
+            h_channels=m.h_channels, cxt_channels=m.cxt_channels,
+            feat_channels=m.feat_channels, net_type=m.net_type,
+            num_levels=m.num_levels, radius=m.radius, iters=m.iters,
+            predict_mask=(m.family == "raft_flow_mask"))
+    if m.family != "scflow":
+        raise ValueError(f"unknown model family {m.family!r}")
     return SCFlowRefiner(
         num_class=m.num_class, separate_encoder=m.separate_encoder,
         h_channels=m.h_channels, cxt_channels=m.cxt_channels,
@@ -66,14 +78,17 @@ def build_model(cfg: Config) -> SCFlowRefiner:
         mask_flow=m.mask_flow, mask_corr=m.mask_corr, dtype=dtype)
 
 
-def init_train_state(cfg: Config, model: SCFlowRefiner, tx, rng,
-                     sample_batch) -> TrainState:
+def init_train_state(cfg: Config, model, tx, rng, sample_batch) -> TrainState:
     # always jit init: eager op-by-op dispatch is pathologically slow on TPU
-    variables = jax.jit(model.init)(
-        rng, sample_batch["rendered_images"], sample_batch["real_images"],
-        sample_batch["ref_rotations"], sample_batch["ref_translations"],
-        sample_batch["rendered_depths"], sample_batch["k"],
-        sample_batch["labels"])
+    if isinstance(model, RAFTRefiner):
+        variables = jax.jit(model.init)(
+            rng, sample_batch["rendered_images"], sample_batch["real_images"])
+    else:
+        variables = jax.jit(model.init)(
+            rng, sample_batch["rendered_images"], sample_batch["real_images"],
+            sample_batch["ref_rotations"], sample_batch["ref_translations"],
+            sample_batch["rendered_depths"], sample_batch["k"],
+            sample_batch["labels"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -161,6 +176,54 @@ def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
     return loss, (new_stats, metrics, outputs)
 
 
+def raft_loss(params, batch_stats, batch, *, model: RAFTRefiner,
+              points_bank: PointsBank, cfg: Config, train: bool = True):
+    """RAFT refiner training loss: sequence flow L1 (+ occlusion-mask L1)
+    against pose-derived GT flow (reference RAFTRefinerFlowMask.loss,
+    raft_refiner_flow_mask.py:167-220). ``points_bank`` is unused (kept for
+    signature parity with scflow_loss)."""
+    max_flow = cfg.model.max_flow
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (train and batch_stats) else False
+    out = model.apply(variables, batch["rendered_images"],
+                      batch["real_images"], train=train, mutable=mutable)
+    if mutable:
+        (flows, masks), updates = out
+        new_stats = updates.get("batch_stats", batch_stats)
+    else:
+        (flows, masks), new_stats = out, batch_stats
+
+    gt_flow = flow_from_pose_and_depth(
+        batch["ref_rotations"], batch["ref_translations"],
+        batch["gt_rotations"], batch["gt_translations"],
+        batch["rendered_depths"], batch["k"], invalid_num=max_flow)
+    if cfg.model.filter_invalid_flow and "gt_masks" in batch:
+        gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"],
+                                      invalid_num=max_flow)
+
+    loss_flow, seq_flow = sequence_flow_loss(
+        flows, gt_flow, batch["rendered_masks"], gamma=cfg.loss.gamma,
+        loss_weight=cfg.loss.flow_weight, max_flow=max_flow)
+    metrics = {"loss_flow": loss_flow, "seq_flow_loss": seq_flow,
+               "loss_pose": jnp.zeros(())}
+    loss = loss_flow
+    if masks is not None:
+        gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
+        loss_mask, seq_mask = sequence_mask_loss(
+            masks[..., 0], gt_occ, gamma=cfg.loss.gamma,
+            loss_weight=cfg.loss.mask_weight)
+        loss = loss + loss_mask
+        metrics.update(loss_mask=loss_mask, seq_mask_loss=seq_mask)
+    metrics["loss"] = loss
+    return loss, (new_stats, metrics, (flows, masks))
+
+
+def _loss_fn_for(model):
+    return raft_loss if isinstance(model, RAFTRefiner) else scflow_loss
+
+
 def make_train_step(model: SCFlowRefiner, renderer: Renderer,
                     points_bank: PointsBank, cfg: Config, tx,
                     donate: bool = False):
@@ -177,7 +240,7 @@ def make_train_step(model: SCFlowRefiner, renderer: Renderer,
         full_batch = dict(batch, rendered_images=rendered,
                           rendered_depths=depth, rendered_masks=mask)
 
-        grad_fn = jax.value_and_grad(scflow_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(_loss_fn_for(model), has_aux=True)
         (loss, (new_stats, metrics, _)), grads = grad_fn(
             state.params, state.batch_stats, full_batch, model=model,
             points_bank=points_bank, cfg=cfg, train=True)
@@ -199,6 +262,8 @@ def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
     base_refiner.py:254-281). The optimizer steps after every cycle; the
     next cycle's reference pose is the detached last-iteration prediction.
     """
+    assert not isinstance(model, RAFTRefiner), \
+        "multi-cycle training needs in-loop poses (SCFlow family only)"
 
     def one_cycle(state: TrainState, batch):
         rendered, depth, mask = render_at_pose(
@@ -248,6 +313,27 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if isinstance(model, RAFTRefiner):
+            # flow(+occlusion) → batched RANSAC-EPnP, ref-pose fallback
+            # (reference raft_refiner_flow_mask.py:133-159)
+            from ..models.flow_pose import solve_pose_from_flow
+
+            flows, masks = model.apply(variables, rendered,
+                                       batch["real_images"], train=False,
+                                       iters=cfg.model.test_iters)
+            occ = masks[-1][..., 0] if masks is not None else None
+            solved = solve_pose_from_flow(
+                jax.random.PRNGKey(0), flows[-1], occ, depth,
+                batch["ref_rotations"], batch["ref_translations"],
+                batch["k"])
+            return {
+                "rotations": solved["rotations"],
+                "translations": solved["translations"],
+                "masks": (masks[-1] if masks is not None
+                          else jnp.ones(flows[-1].shape[:-1] + (1,))),
+                "flow": flows[-1],
+                "pnp_valid": solved["valid"],
+            }
         outputs = model.apply(variables, rendered, batch["real_images"],
                               batch["ref_rotations"], batch["ref_translations"],
                               depth, batch["k"], batch["labels"], train=False,

@@ -135,3 +135,74 @@ class TestMultiCycleAndMultiPass:
         r = np.asarray(out["rotations"])
         np.testing.assert_allclose(r @ r.transpose(0, 2, 1),
                                    np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+
+class TestRaftFamily:
+    def _cfg(self, family):
+        from scflow_tpu.training import Config, ModelConfig
+
+        return Config(model=ModelConfig(family=family, num_class=3, iters=2,
+                                        test_iters=2, feat_channels=64,
+                                        h_channels=32, cxt_channels=32,
+                                        num_levels=2, radius=2))
+
+    def test_raft_flow_mask_train_and_eval(self):
+        import jax
+        import numpy as np
+
+        from scflow_tpu.data import synthetic_batch
+        from scflow_tpu.models.refiner import RAFTRefiner
+        from scflow_tpu.rendering import Renderer, make_test_meshes
+        from scflow_tpu.training import (build_model, build_points_bank,
+                                         render_at_pose)
+        from scflow_tpu.training.steps import (init_train_state,
+                                               make_eval_step,
+                                               make_optimizer,
+                                               make_train_step)
+
+        cfg = self._cfg("raft_flow_mask")
+        model = build_model(cfg)
+        assert isinstance(model, RAFTRefiner)
+
+        bank = make_test_meshes(num_classes=3, subdivisions=1, radius=50.0)
+        renderer = Renderer(bank, image_size=(64, 64))
+        points = build_points_bank(bank, num_points=64)
+        batch = synthetic_batch(jax.random.PRNGKey(0), renderer, 2)
+        rendered, depth, mask = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], cfg.data.normalize_mean,
+            cfg.data.normalize_std)
+        sample = dict(batch, rendered_images=rendered,
+                      rendered_depths=depth, rendered_masks=mask)
+
+        tx, _ = make_optimizer(cfg)
+        state = init_train_state(cfg, model, tx, jax.random.PRNGKey(1), sample)
+        step = make_train_step(model, renderer, points, cfg, tx)
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_pose"]) == 0.0
+        assert "loss_mask" in metrics
+
+        eval_step = make_eval_step(model, renderer, cfg)
+        out = eval_step(state2.params, state2.batch_stats, batch)
+        assert out["rotations"].shape == (2, 3, 3)
+        assert "pnp_valid" in out
+        # returned rotations are valid rotation matrices
+        rtr = np.asarray(out["rotations"] @ np.swapaxes(out["rotations"], -1, -2))
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)),
+                                   atol=1e-3)
+
+    def test_raft_flow_family_no_mask(self):
+        from scflow_tpu.models.refiner import RAFTRefiner
+        from scflow_tpu.training import build_model
+
+        model = build_model(self._cfg("raft_flow"))
+        assert isinstance(model, RAFTRefiner) and not model.predict_mask
+
+    def test_unknown_family(self):
+        import pytest
+
+        from scflow_tpu.training import build_model
+
+        with pytest.raises(ValueError):
+            build_model(self._cfg("bogus"))
