@@ -1,16 +1,24 @@
-"""Tile-binned triangle rasterizer: Pallas TPU kernel + fused XLA tail.
+"""Tile-binned triangle rasterizer: Pallas TPU kernel + thin XLA pre/post.
 
-The TPU answer to pytorch3d's bin-based CUDA rasterizer (SURVEY.md §2.9):
-the image is split into (TILE_H × TILE_W) pixel tiles; an XLA pre-pass packs
-per-face data and computes which 64-face chunks overlap each tile; the
-Pallas kernel then streams only overlapping chunks, evaluating edge
-functions for the whole pixel tile per face (VPU) and keeping the packed
-(z | face-id) minimum — the z-test is one integer min, no argmin carries.
-A fused XLA tail recovers exact depth/barycentrics/attributes with a single
-row-gather per pixel from the packed face table.
+The TPU answer to pytorch3d's bin-based CUDA rasterizer (SURVEY.md §2.9).
+An XLA pre-pass projects vertices, computes per-face edge coefficients and
+selects the top-K bbox-overlapping faces per 32×32 pixel tile (chunk-
+granular top_k, one packed row-gather). The Pallas kernel then runs one
+program per tile with the K selected faces on the 128-lane axis:
 
-Speedup vs the plain XLA scan rasterizer comes from predicated chunk
-skipping: faces touch few tiles, so ~90% of face×tile work vanishes.
+  - edge functions / z / packed (z | face-id) keys for all (1024 px × K)
+    pairs as pure VPU work held in VMEM (the XLA version of this pass
+    materializes ~6 (P, K) f32 intermediates in HBM — the kernel keeps
+    them on-chip, which is the entire speedup),
+  - the z-test is a cross-lane integer min,
+  - the winner is recovered as an exact one-hot (`key == min_key`) mask,
+  - barycentric-weighted vertex-attribute interpolation happens in-kernel
+    as three (P, K) @ (K, 16) MXU matmuls.
+
+Design rules followed from the Pallas TPU guide: faces ride the lane axis
+(vector loads of (K,) rows from a channel-major (16, K) coefficient
+block — no scalar VMEM loads), ≥2-D iota, `preferred_element_type` on
+dots, static shapes everywhere.
 """
 from __future__ import annotations
 
@@ -22,192 +30,223 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
-TILE_W = 128
-CHUNK = 64          # faces per culling granule
-
-
-def _tile_shape(height: int, width: int) -> tuple[int, int]:
-    """Largest (th, tw) ≤ (TILE_H, TILE_W) dividing the image."""
-    th = TILE_H
-    while height % th:
-        th //= 2
-    tw = TILE_W
-    while width % tw:
-        tw //= 2
-    return th, tw
-_BIG_KEY = np.int32(0x7F7F0000)
+TILE = 32            # pixel tile edge (tile = TILE×TILE pixels)
+CHUNK = 8            # face-selection granularity (top_k runs on chunks)
+K_FACES = 256        # per-tile face budget (must be a lane multiple)
 ID_BITS = 14
+_BIG_KEY = np.int32(0x7F7F0000)
+ATTR_PAD = 16        # per-vertex attribute channels padded to this
 
 
-def pack_face_data(verts_xy, verts_z, faces, face_valid):
-    """Per-face rasterization data (F, 16):
-    [ax, ay, bx, by, cx, cy, az, bz, cz, inv_area, xmin, xmax, ymin, ymax,
-     valid, pad]. Invalid faces get empty bboxes so they never overlap."""
+def _coeff_table(verts_xy, verts_z, faces, face_valid):
+    """Per-face channel table (F, 16):
+    [a0,b0,c0, a1,b1,c1, a2,b2,c2, zt0,zt1,zt2, inv|area|, fid, valid, pad]
+    where edge k is w_k(px,py) = a·px + b·py + c (area-sign folded in, so
+    inside ⇔ all w ≥ 0) and zt are z-verts premultiplied by 1/|area| (zi
+    needs no per-pixel normalization)."""
+    f = faces.shape[0]
     tri_xy = verts_xy[faces]            # (F, 3, 2)
     tri_z = verts_z[faces]              # (F, 3)
     ax, ay = tri_xy[:, 0, 0], tri_xy[:, 0, 1]
     bx, by = tri_xy[:, 1, 0], tri_xy[:, 1, 1]
     cx, cy = tri_xy[:, 2, 0], tri_xy[:, 2, 1]
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    ok = (face_valid & (jnp.abs(area) > 1e-12)
-          & (tri_z > 1e-6).all(axis=-1))
-    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-    xmin = jnp.minimum(jnp.minimum(ax, bx), cx)
-    xmax = jnp.maximum(jnp.maximum(ax, bx), cx)
-    ymin = jnp.minimum(jnp.minimum(ay, by), cy)
-    ymax = jnp.maximum(jnp.maximum(ay, by), cy)
-    # invalid faces: impossible bbox
-    xmin = jnp.where(ok, xmin, 1e9)
-    xmax = jnp.where(ok, xmax, -1e9)
-    data = jnp.stack([ax, ay, bx, by, cx, cy, tri_z[:, 0], tri_z[:, 1],
-                      tri_z[:, 2], inv_area, xmin, xmax, ymin, ymax,
-                      ok.astype(jnp.float32), jnp.zeros_like(ax)], axis=-1)
-    return data  # (F, 16)
+    ok = face_valid & (jnp.abs(area) > 1e-12) & (tri_z > 1e-6).all(axis=-1)
+    s = jnp.where(area >= 0, 1.0, -1.0)
+    inv_abs = jnp.where(jnp.abs(area) > 1e-12, 1.0 / jnp.abs(area), 0.0)
+    a0, b0 = -(cy - by) * s, (cx - bx) * s
+    c0 = ((cy - by) * bx - (cx - bx) * by) * s
+    a1, b1 = -(ay - cy) * s, (ax - cx) * s
+    c1 = ((ay - cy) * cx - (ax - cx) * cy) * s
+    a2, b2 = -(by - ay) * s, (bx - ax) * s
+    c2 = ((by - ay) * ax - (bx - ax) * ay) * s
+    zt = tri_z * inv_abs[:, None]
+    fid = jnp.arange(f, dtype=jnp.float32)
+    cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2,
+            zt[:, 0], zt[:, 1], zt[:, 2], inv_abs, fid,
+            ok.astype(jnp.float32), jnp.zeros_like(a0)]
+    bbox = (jnp.minimum(jnp.minimum(ax, bx), cx),
+            jnp.maximum(jnp.maximum(ax, bx), cx),
+            jnp.minimum(jnp.minimum(ay, by), cy),
+            jnp.maximum(jnp.maximum(ay, by), cy))
+    return jnp.stack(cols, axis=-1), bbox, ok
 
 
-def chunk_tile_overlap(face_data, height, width):
-    """(num_tiles, num_chunks) float 0/1: does any face of chunk c overlap
-    tile t (conservative bbox test)."""
-    f = face_data.shape[0]
-    num_chunks = f // CHUNK
-    tile_h, tile_w = _tile_shape(height, width)
-    ty = height // tile_h
-    tx = width // tile_w
-    xmin = face_data[:, 10].reshape(num_chunks, CHUNK)
-    xmax = face_data[:, 11].reshape(num_chunks, CHUNK)
-    ymin = face_data[:, 12].reshape(num_chunks, CHUNK)
-    ymax = face_data[:, 13].reshape(num_chunks, CHUNK)
+def _select_tiles(coeff, bbox, ok, height, width, k_faces):
+    """Chunk-granular top-K face selection per tile.
 
-    tile_y0 = (jnp.arange(ty) * tile_h).astype(jnp.float32)[:, None, None, None]
-    tile_x0 = (jnp.arange(tx) * tile_w).astype(jnp.float32)[None, :, None, None]
-    # face bbox intersects tile rect (broadcast (ty, tx, num_chunks, CHUNK))
-    ovx = ((xmax[None, None] >= tile_x0 - 0.5)
-           & (xmin[None, None] <= tile_x0 + tile_w - 0.5))
-    ovy = ((ymax[None, None] >= tile_y0 - 0.5)
-           & (ymin[None, None] <= tile_y0 + tile_h - 0.5))
-    ov = (ovx & ovy).any(axis=-1)  # (ty, tx, num_chunks)
-    return ov.reshape(ty * tx, num_chunks).astype(jnp.float32)
+    Returns sel_coeff (T, 16, K) channel-major for lane-aligned kernel
+    loads, with the slot-valid flag folded into the valid channel."""
+    f = coeff.shape[0]
+    xmin, xmax, ymin, ymax = bbox
+    ty, tx = height // TILE, width // TILE
+    t_y0 = (jnp.arange(ty) * TILE).astype(jnp.float32)
+    t_x0 = (jnp.arange(tx) * TILE).astype(jnp.float32)
+    ovy = ((ymax[None, :] >= t_y0[:, None] - 0.5)
+           & (ymin[None, :] <= t_y0[:, None] + TILE - 0.5))
+    ovx = ((xmax[None, :] >= t_x0[:, None] - 0.5)
+           & (xmin[None, :] <= t_x0[:, None] + TILE - 0.5))
+    overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(ty * tx, f)
+    ov_chunks = overlap.reshape(ty * tx, f // CHUNK, CHUNK).any(-1)
+    _, top_c = jax.lax.top_k(ov_chunks.astype(jnp.float32),
+                             k_faces // CHUNK)                # (T, K/8)
+    top_idx = (top_c[..., None] * CHUNK
+               + jnp.arange(CHUNK)).reshape(ty * tx, k_faces)
+    sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
 
-
-def _make_kernel(tile_h: int, tile_w: int):
-  def _kernel(tri_ref, ov_ref, out_ref):
-    """One (sample, tile) program: loop overlapping 64-face chunks, keep the
-    packed-key minimum over faces for each pixel of the tile."""
-    tile_id = pl.program_id(1) * pl.num_programs(2) + pl.program_id(2)
-    y0 = (pl.program_id(1) * tile_h).astype(jnp.float32)
-    x0 = (pl.program_id(2) * tile_w).astype(jnp.float32)
-    py = y0 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-
-    num_chunks = ov_ref.shape[1]
-
-    def chunk_body(c, keybuf):
-        def do_chunk(keybuf):
-            def face_body(i, keybuf):
-                f = c * CHUNK + i
-                ax = tri_ref[f, 0]
-                ay = tri_ref[f, 1]
-                bx = tri_ref[f, 2]
-                by = tri_ref[f, 3]
-                cx = tri_ref[f, 4]
-                cy = tri_ref[f, 5]
-                z0 = tri_ref[f, 6]
-                z1 = tri_ref[f, 7]
-                z2 = tri_ref[f, 8]
-                inv_area = tri_ref[f, 9]
-                valid = tri_ref[f, 14]
-
-                e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-                e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-                e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-                w0 = e0 * inv_area
-                w1 = e1 * inv_area
-                w2 = e2 * inv_area
-                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (valid > 0)
-                z = w0 * z0 + w1 * z1 + w2 * z2
-                zkey = pltpu.bitcast(jnp.maximum(z, 1e-30), jnp.int32)
-                key = ((zkey >> ID_BITS) << ID_BITS) | f
-                key = jnp.where(inside, key, _BIG_KEY)
-                return jnp.minimum(keybuf, key)
-
-            return jax.lax.fori_loop(0, CHUNK, face_body, keybuf)
-
-        # skip chunks whose faces don't touch this tile
-        return jax.lax.cond(ov_ref[tile_id, c] > 0, do_chunk,
-                            lambda k: k, keybuf)
-
-    init = jnp.full((tile_h, tile_w), _BIG_KEY, jnp.int32)
-    out_ref[0] = jax.lax.fori_loop(0, num_chunks, chunk_body, init)
-
-  return _kernel
+    sel = coeff.reshape(f // CHUNK, CHUNK * 16)[top_c]
+    sel = sel.reshape(ty * tx, k_faces, 16)
+    sel = sel.at[..., 14].set(sel[..., 14] * sel_valid)
+    return jnp.swapaxes(sel, 1, 2), top_idx                   # (T, 16, K)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "interpret"))
-def rasterize_keys(face_data, overlap, height, width, interpret=False):
-    """Run the Pallas kernel for one sample → packed key map (H, W)."""
-    f = face_data.shape[0]
-    tile_h, tile_w = _tile_shape(height, width)
-    ty, tx = height // tile_h, width // tile_w
-    grid = (1, ty, tx)
-    return pl.pallas_call(
-        _make_kernel(tile_h, tile_w),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((f, 16), lambda n, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(overlap.shape, lambda n, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, tile_w),
-                               lambda n, i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, height, width), jnp.int32),
-        interpret=interpret,
-    )(face_data, overlap)[0]
+def _rasterize_kernel(tx: int, k_faces: int, d_attr: int):
+    p = TILE * TILE
+
+    def kernel(coeff_ref, attr_ref, key_ref, z_ref, attr_out_ref):
+        t = pl.program_id(0)
+        y0 = ((t // tx) * TILE).astype(jnp.float32)
+        x0 = ((t % tx) * TILE).astype(jnp.float32)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = x0 + (pix % TILE).astype(jnp.float32)            # (P, 1)
+        py = y0 + (pix // TILE).astype(jnp.float32)
+
+        def row(i):
+            return coeff_ref[0, i, :][None, :]                # (1, K)
+
+        w0 = row(0) * px + (row(1) * py + row(2))             # (P, K)
+        w1 = row(3) * px + (row(4) * py + row(5))
+        w2 = row(6) * px + (row(7) * py + row(8))
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (row(14) > 0)
+        zi = w0 * row(9) + w1 * row(10) + w2 * row(11)
+        zkey = pltpu.bitcast(jnp.maximum(zi, 1e-30), jnp.int32)
+        fid = row(13).astype(jnp.int32)
+        key = ((zkey >> ID_BITS) << ID_BITS) | fid
+        key = jnp.where(inside, key, _BIG_KEY)
+        min_key = jnp.min(key, axis=1, keepdims=True)         # (P, 1)
+        key_ref[0] = min_key[:, 0].reshape(8, p // 8)
+
+        winner = ((key == min_key) & inside).astype(jnp.float32)
+        z_ref[0] = jnp.sum(winner * zi, axis=1).reshape(8, p // 8)
+        if d_attr:
+            a = attr_ref[0]                                   # (K, 3·Dp)
+            interp = jnp.dot(winner * w0, a[:, 0:ATTR_PAD],
+                             preferred_element_type=jnp.float32)
+            interp += jnp.dot(winner * w1, a[:, ATTR_PAD:2 * ATTR_PAD],
+                              preferred_element_type=jnp.float32)
+            interp += jnp.dot(winner * w2, a[:, 2 * ATTR_PAD:3 * ATTR_PAD],
+                              preferred_element_type=jnp.float32)
+            attr_out_ref[0] = interp
+
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def _untile(x, height, width):
+    """(T, TILE, TILE, *extra) → (H, W, *extra)."""
+    ty, tx = height // TILE, width // TILE
+    extra = x.shape[3:]
+    x = x.reshape((ty, tx, TILE, TILE) + extra)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((height, width) + extra)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "k_faces",
+                                   "interpret", "return_bary"))
 def rasterize_fast(verts_xy, verts_z, faces, face_valid, height, width,
-                   interpret: bool = False):
-    """Drop-in replacement for ``rendering.rasterizer.rasterize`` (single
-    sample; vmap over a batch): Pallas tile-binned z-test + XLA tail.
+                   tri_attrs=None, k_faces: int = K_FACES,
+                   interpret: bool = False, return_bary: bool = True):
+    """Pallas tile-binned rasterizer (single sample; vmap over a batch).
 
-    Returns dict(zbuf, face_id, bary) with identical semantics.
+    Same semantics as ``rendering.rasterizer.rasterize_binned``: returns
+    dict(zbuf, face_id[, bary][, attrs]). ``tri_attrs`` is (F, 3, D≤16)
+    per-face-vertex attributes interpolated in-kernel.
     """
-    fcount = faces.shape[0]
-    pad = (-fcount) % CHUNK
+    assert height % TILE == 0 and width % TILE == 0, (height, width)
+    fcount0 = faces.shape[0]
+    pad = (-fcount0) % CHUNK
     if pad:
         faces = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)])
         face_valid = jnp.concatenate([face_valid, jnp.zeros((pad,), bool)])
-    assert faces.shape[0] < (1 << ID_BITS), "face budget exceeds packed id bits"
+        if tri_attrs is not None:
+            tri_attrs = jnp.concatenate(
+                [tri_attrs, jnp.zeros((pad,) + tri_attrs.shape[1:],
+                                      tri_attrs.dtype)])
+    fcount = faces.shape[0]
+    assert fcount < (1 << ID_BITS), "face budget exceeds packed id bits"
+    k_faces = min(k_faces, max(CHUNK, (fcount // CHUNK) * CHUNK))
 
-    face_data = pack_face_data(verts_xy, verts_z, faces, face_valid)
-    overlap = chunk_tile_overlap(face_data, height, width)
-    keys = rasterize_keys(face_data, overlap, height, width,
-                          interpret=interpret)
+    coeff, bbox, ok = _coeff_table(verts_xy, verts_z, faces, face_valid)
+    sel_coeff, top_idx = _select_tiles(coeff, bbox, ok, height, width,
+                                       k_faces)
+    ty, tx = height // TILE, width // TILE
+    t = ty * tx
+    p = TILE * TILE
+
+    d_attr = 0
+    if tri_attrs is not None:
+        d_attr = tri_attrs.shape[-1]
+        assert d_attr <= ATTR_PAD, d_attr
+        inv_abs = coeff[:, 12]
+        at = tri_attrs * inv_abs[:, None, None]               # premultiplied
+        at = jnp.pad(at, ((0, 0), (0, 0), (0, ATTR_PAD - d_attr)))
+        at = at.reshape(fcount // CHUNK, CHUNK, 3 * ATTR_PAD)
+        sel_attr = at[top_idx[:, ::CHUNK] // CHUNK].reshape(
+            t, k_faces, 3 * ATTR_PAD)
+    else:
+        sel_attr = jnp.zeros((t, k_faces, 3 * ATTR_PAD), jnp.float32)
+
+    keys, zb, attrs = pl.pallas_call(
+        _rasterize_kernel(tx, k_faces, d_attr),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, 16, k_faces), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_faces, 3 * ATTR_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, p // 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p // 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, ATTR_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, 8, p // 8), jnp.int32),
+            jax.ShapeDtypeStruct((t, 8, p // 8), jnp.float32),
+            jax.ShapeDtypeStruct((t, p, ATTR_PAD), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sel_coeff, sel_attr)
+
+    keys = _untile(keys.reshape(t, TILE, TILE), height, width)
+    zbuf = _untile(zb.reshape(t, TILE, TILE), height, width)
 
     bg = keys >= _BIG_KEY
-    id_mask = (1 << ID_BITS) - 1
-    face_id = jnp.where(bg, -1, keys & id_mask)
-    safe = jnp.maximum(face_id, 0)
-
-    row = face_data[safe]                     # (H, W, 16) single row-gather
-    ys = jnp.arange(height, dtype=verts_xy.dtype)
-    xs = jnp.arange(width, dtype=verts_xy.dtype)
-    px, py = jnp.meshgrid(xs, ys)
-    ax, ay = row[..., 0], row[..., 1]
-    bx, by = row[..., 2], row[..., 3]
-    cx, cy = row[..., 4], row[..., 5]
-    inv_area = row[..., 9]
-    e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-    e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-    e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
-    bary = jnp.where(bg[..., None], 0.0, bary)
-    zbuf = (bary[..., 0] * row[..., 6] + bary[..., 1] * row[..., 7]
-            + bary[..., 2] * row[..., 8])
+    face_id = jnp.where(bg, -1, keys & ((1 << ID_BITS) - 1))
     zbuf = jnp.where(bg, 0.0, zbuf)
-    return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
+    out = {"zbuf": zbuf, "face_id": face_id}
+    if tri_attrs is not None:
+        attrs = _untile(attrs.reshape(t, TILE, TILE, ATTR_PAD),
+                        height, width)
+        out["attrs"] = jnp.where(bg[..., None], 0.0, attrs[..., :d_attr])
+    if return_bary:
+        # XLA tail (per-pixel gather) — kept for parity tests; the renderer
+        # path requests attrs instead.
+        safe = jnp.maximum(face_id, 0)
+        tri_xy = verts_xy[faces][safe]                        # (H, W, 3, 2)
+        ys = jnp.arange(height, dtype=verts_xy.dtype)
+        xs = jnp.arange(width, dtype=verts_xy.dtype)
+        px, py = jnp.meshgrid(xs, ys)
+        ax, ay = tri_xy[..., 0, 0], tri_xy[..., 0, 1]
+        bx, by = tri_xy[..., 1, 0], tri_xy[..., 1, 1]
+        cx, cy = tri_xy[..., 2, 0], tri_xy[..., 2, 1]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
+        out["bary"] = jnp.where(bg[..., None], 0.0, bary)
+    return out

@@ -147,11 +147,13 @@ def rasterize(verts_xy: jax.Array, verts_z: jax.Array, faces: jax.Array,
     return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "k_faces"))
+@partial(jax.jit, static_argnames=("height", "width", "tile", "k_faces",
+                                   "return_bary"))
 def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
                      faces: jax.Array, face_valid: jax.Array,
                      height: int, width: int, tile: int = 32,
-                     k_faces: int = 256):
+                     k_faces: int = 256, tri_attrs: jax.Array | None = None,
+                     return_bary: bool = True):
     """Tile-binned rasterization in pure XLA (single sample; vmap to batch).
 
     Splits the image into (tile × tile) pixel tiles and rasterizes each
@@ -160,6 +162,17 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
     5-10× for typical meshes — and invalid/backface-culled faces are never
     selected at all, so culling translates into real savings (unlike the
     dense scan path where masked faces still burn vector ops).
+
+    The winner's barycentrics, depth and (optionally) interpolated vertex
+    attributes are extracted *inside* the tile pass: the winning face is a
+    one-hot ``key == min_key`` mask, so bary/z are masked lane reductions
+    and attribute interpolation is a (pixels × K) @ (K × D) MXU matmul per
+    tile — no per-pixel gathers anywhere (gathers lower to a scalar path on
+    TPU; measured 2× end-to-end on the render stage).
+
+    Args:
+      tri_attrs: optional (F, 3, D) per-face-vertex attributes to
+        interpolate; returned as ``attrs`` (H, W, D).
 
     Semantics match :func:`rasterize`; faces beyond the per-tile budget are
     dropped (budget is generous: K=256 faces on a 1024-px tile).
@@ -192,29 +205,51 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
     # shrinks 8× (sorts are the expensive part on TPU).
     k_faces = min(k_faces, fcount)
     chunk = 8
+    d_attr = tri_attrs.shape[-1] if tri_attrs is not None else 0
+    # pack all per-face data into one chunk-granular table so per-tile
+    # selection is ONE gather with large rows (chunk·row_d floats) — many
+    # small scattered gathers lower to a slow scalar path on TPU.
+    pack_cols = [tri_xy.reshape(fcount, 6), tri_z]
+    if tri_attrs is not None:
+        pack_cols.append(tri_attrs.reshape(fcount, 3 * d_attr))
+    face_pack = jnp.concatenate(pack_cols, axis=-1)            # (F, 9+3D)
+    row_d = face_pack.shape[-1]
     if fcount % chunk == 0 and k_faces % chunk == 0:
         ov_chunks = overlap.reshape(ty * tx, fcount // chunk, chunk).any(-1)
         _, top_c = jax.lax.top_k(ov_chunks.astype(jnp.float32),
                                  k_faces // chunk)             # (T, K/8)
         top_idx = (top_c[..., None] * chunk
                    + jnp.arange(chunk)).reshape(ty * tx, k_faces)
+        sel_pack = face_pack.reshape(fcount // chunk, chunk * row_d)[
+            top_c].reshape(ty * tx, k_faces, row_d)
     else:
         _, top_idx = jax.lax.top_k(overlap.astype(jnp.float32), k_faces)
+        sel_pack = face_pack[top_idx]                          # (T, K, row_d)
     sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
 
-    # gather per-tile face packets: verts xy/z (+ id) — (T, K, ...)
-    sel_xy = tri_xy[top_idx]            # (T, K, 3, 2)
-    sel_z = tri_z[top_idx]              # (T, K, 3)
-    sel_area = area[top_idx]
+    sel_xy = sel_pack[..., :6].reshape(ty * tx, k_faces, 3, 2)
+    sel_z = sel_pack[..., 6:9]
+    sel_area = ((sel_xy[..., 1, 0] - sel_xy[..., 0, 0])
+                * (sel_xy[..., 2, 1] - sel_xy[..., 0, 1])
+                - (sel_xy[..., 1, 1] - sel_xy[..., 0, 1])
+                * (sel_xy[..., 2, 0] - sel_xy[..., 0, 0]))
+    if tri_attrs is not None:
+        sel_attr = sel_pack[..., 9:].reshape(ty * tx, k_faces, 3, d_attr)
+    else:
+        sel_attr = jnp.zeros((ty * tx, k_faces, 3, 0), verts_xy.dtype)
 
     id_bits = max(14, (fcount - 1).bit_length())
     _BIG_KEY = jnp.int32(0x7F7F0000)
 
     tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)
 
-    def one_tile(xy, z, a, valid, fids, tid):
+    def one_tile(xy, z, a, valid, fids, attr, tid):
         # layout: (pixels=tile², faces=K) — faces ride the 128-lane axis so
         # the VPU is fully utilized and the z-test is a lane reduction.
+        # Per-face edge coefficients are precomputed (K-sized vectors) so
+        # the inner (P, K) work is 2 FMA per edge + 3 FMA for z — the sign
+        # test runs on unnormalized edges (area sign folded into the
+        # coefficients) and the area normalization is folded into z/attrs.
         y0 = (tid // tx) * tile
         x0 = (tid % tx) * tile
         pyl = (y0 + jnp.arange(tile)).astype(verts_xy.dtype)
@@ -223,48 +258,80 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
         pxf = pxx.reshape(-1, 1)                 # (P, 1)
         pyf = pyy.reshape(-1, 1)
 
-        ax, ay = xy[None, :, 0, 0], xy[None, :, 0, 1]   # (1, K)
-        bx, by = xy[None, :, 1, 0], xy[None, :, 1, 1]
-        cx, cy = xy[None, :, 2, 0], xy[None, :, 2, 1]
+        ax, ay = xy[:, 0, 0], xy[:, 0, 1]        # (K,)
+        bx, by = xy[:, 1, 0], xy[:, 1, 1]
+        cx, cy = xy[:, 2, 0], xy[:, 2, 1]
 
-        inv = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)[None, :]
-        w0 = ((cx - bx) * (pyf - by) - (cy - by) * (pxf - bx)) * inv
-        w1 = ((ax - cx) * (pyf - cy) - (ay - cy) * (pxf - cx)) * inv
-        w2 = ((bx - ax) * (pyf - ay) - (by - ay) * (pxf - ax)) * inv
+        s = jnp.where(a >= 0, 1.0, -1.0)
+        inv_abs = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.abs(a), 0.0)  # (K,)
+        # edge k: w_k(px, py) = A px + B py + C (unnormalized, sign-fixed)
+        a0, b0c = -(cy - by) * s, (cx - bx) * s
+        c0 = ((cy - by) * bx - (cx - bx) * by) * s
+        a1, b1c = -(ay - cy) * s, (ax - cx) * s
+        c1 = ((ay - cy) * cx - (ax - cx) * cy) * s
+        a2, b2c = -(by - ay) * s, (bx - ax) * s
+        c2 = ((by - ay) * ax - (bx - ax) * ay) * s
+        # z premultiplied by 1/|area| → zi needs no per-pixel normalize
+        zt = z * inv_abs[:, None]                # (K, 3)
+
+        w0 = a0[None, :] * pxf + (b0c[None, :] * pyf + c0[None, :])
+        w1 = a1[None, :] * pxf + (b1c[None, :] * pyf + c1[None, :])
+        w2 = a2[None, :] * pxf + (b2c[None, :] * pyf + c2[None, :])
         inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[None, :]
-        zi = (w0 * z[None, :, 0] + w1 * z[None, :, 1] + w2 * z[None, :, 2])
+        zi = (w0 * zt[None, :, 0] + w1 * zt[None, :, 1] + w2 * zt[None, :, 2])
         zkey = jax.lax.bitcast_convert_type(jnp.maximum(zi, 1e-30), jnp.int32)
         key = ((zkey >> id_bits) << id_bits) | fids[None, :]
         key = jnp.where(inside, key, _BIG_KEY)
-        return jnp.min(key, axis=1).reshape(tile, tile)
+        min_key = jnp.min(key, axis=1)                       # (P,)
 
-    keys = jax.vmap(one_tile)(sel_xy, sel_z, sel_area, sel_valid,
-                              top_idx.astype(jnp.int32), tile_ids)
-    keys = keys.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3)
-    keys = keys.reshape(height, width)
+        # winner extraction: exact one-hot (face-id bits make keys unique)
+        winner = (key == min_key[:, None]) & inside           # (P, K)
+        wf = winner.astype(zi.dtype)
+        ztile = jnp.sum(wf * zi, axis=1)
+        if return_bary:
+            inv_w = inv_abs[None, :]
+            b0 = jnp.sum(wf * w0 * inv_w, axis=1)
+            b1 = jnp.sum(wf * w1 * inv_w, axis=1)
+            b2 = jnp.sum(wf * w2 * inv_w, axis=1)
+            bary_t = jnp.stack([b0, b1, b2], axis=-1)
+        else:
+            bary_t = jnp.zeros((wf.shape[0], 3), zi.dtype)
+        if d_attr:
+            # attrs premultiplied by 1/|area| → unnormalized w works
+            at = attr * inv_abs[:, None, None]               # (K, 3, D)
+            interp = ((wf * w0) @ at[:, 0, :] + (wf * w1) @ at[:, 1, :]
+                      + (wf * w2) @ at[:, 2, :])             # (P, D) on MXU
+        else:
+            interp = jnp.zeros((wf.shape[0], 0), zi.dtype)
+        return (min_key.reshape(tile, tile),
+                bary_t.reshape(tile, tile, 3),
+                ztile.reshape(tile, tile),
+                interp.reshape(tile, tile, d_attr))
+
+    with jax.default_matmul_precision("float32"):
+        keys, bary, zbuf, attrs = jax.vmap(one_tile)(
+            sel_xy, sel_z, sel_area, sel_valid,
+            top_idx.astype(jnp.int32), sel_attr, tile_ids)
+
+    def untile(x):
+        extra = x.shape[3:]
+        x = x.reshape((ty, tx, tile, tile) + extra)
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape((height, width) + extra)
+
+    keys = untile(keys)
+    bary = untile(bary)
+    zbuf = untile(zbuf)
+    attrs = untile(attrs)
 
     bg = keys >= _BIG_KEY
     face_id = jnp.where(bg, -1, keys & ((1 << id_bits) - 1))
-    safe_face = jnp.maximum(face_id, 0)
-
-    ys = jnp.arange(height, dtype=verts_xy.dtype)
-    xs = jnp.arange(width, dtype=verts_xy.dtype)
-    px, py = jnp.meshgrid(xs, ys)
-    triw = tri_xy[safe_face]                         # (H, W, 3, 2)
-    ax, ay = triw[..., 0, 0], triw[..., 0, 1]
-    bx, by = triw[..., 1, 0], triw[..., 1, 1]
-    cx, cy = triw[..., 2, 0], triw[..., 2, 1]
-    areaw = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    inv_area = jnp.where(jnp.abs(areaw) > 1e-12, 1.0 / areaw, 0.0)
-    e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-    e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-    e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    bary = jnp.stack([e0, e1, e2], axis=-1) * inv_area[..., None]
-    bary = jnp.where(bg[..., None], 0.0, bary)
-    zw = tri_z[safe_face]
-    zbuf = jnp.sum(bary * zw, axis=-1)
     zbuf = jnp.where(bg, 0.0, zbuf)
-    return {"zbuf": zbuf, "face_id": face_id, "bary": bary}
+    bary = jnp.where(bg[..., None], 0.0, bary)
+    out = {"zbuf": zbuf, "face_id": face_id, "bary": bary}
+    if tri_attrs is not None:
+        out["attrs"] = jnp.where(bg[..., None], 0.0, attrs)
+    return out
 
 
 def interpolate_face_attributes(face_id: jax.Array, bary: jax.Array,

@@ -44,10 +44,9 @@ class Renderer:
     separate_lights: bool = True
     light_offset: float = 400.0
     face_chunk: int = 256
-    # 'binned' (XLA tile-binned top-K, default), 'scan' (dense XLA scan),
-    # or 'pallas' (Pallas tile kernel — compiles slowly through the current
-    # TPU toolchain; interpret mode on CPU).
-    rasterizer: str = "binned"
+    # 'auto' (Pallas tile kernel on TPU, XLA tile-binned on CPU),
+    # 'pallas', 'binned' (XLA tile-binned top-K), 'scan' (dense XLA scan).
+    rasterizer: str = "auto"
     # 3D backface culling (normal · view direction). Exact-output 2× saving
     # for closed consistently-wound meshes; disable for open/flipped meshes.
     cull_backfaces: bool = True
@@ -75,6 +74,10 @@ def _render(self: Renderer, rotations, translations, k, labels):
 
     rasterizer_kind = self.rasterizer
     interpret = jax.default_backend() == "cpu"
+    if rasterizer_kind == "auto":
+        # the Pallas kernel is ~2x the XLA binned path on TPU; under
+        # interpret mode (CPU) the XLA path is much faster
+        rasterizer_kind = "binned" if interpret else "pallas"
 
     def one(verts_i, faces_i, fvalid_i, normals_i, colors_i, r_i, t_i, k_i):
         xy, z = project_vertices(verts_i, r_i, t_i, k_i)
@@ -87,25 +90,31 @@ def _render(self: Renderer, rotations, translations, k, labels):
             fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
             centroid = tri.mean(axis=1)
             fvalid_i = fvalid_i & (jnp.sum(fn * centroid, axis=-1) < 0.0)
+        tri_attr = jnp.concatenate(
+            [verts_i[faces_i], normals_i[faces_i], colors_i[faces_i]],
+            axis=-1)                                    # (F, 3, 9)
         if rasterizer_kind == "pallas":
             from ..ops.rasterize_fast import rasterize_fast
 
             frag = rasterize_fast(xy, z, faces_i, fvalid_i, h, w,
-                                  interpret=interpret)
+                                  tri_attrs=tri_attr, interpret=interpret,
+                                  return_bary=False)
         elif rasterizer_kind == "binned":
-            frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w)
+            # attributes interpolate inside the tile pass (no gathers)
+            frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w,
+                                    tri_attrs=tri_attr, return_bary=False)
         else:
             frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
                              chunk=self.face_chunk)
         mask = frag["face_id"] >= 0
-        # one packed row-gather for all per-vertex attributes
-        tri_attr = jnp.concatenate(
-            [verts_i[faces_i], normals_i[faces_i], colors_i[faces_i]],
-            axis=-1)                                    # (F, 3, 9)
-        safe = jnp.maximum(frag["face_id"], 0)
-        rows = tri_attr[safe]                           # (H, W, 3, 9)
-        interp = jnp.einsum("hwk,hwkd->hwd", frag["bary"], rows)
-        interp = jnp.where(mask[..., None], interp, 0.0)
+        if "attrs" in frag:
+            interp = frag["attrs"]
+        else:
+            # one packed row-gather for all per-vertex attributes
+            safe = jnp.maximum(frag["face_id"], 0)
+            rows = tri_attr[safe]                       # (H, W, 3, 9)
+            interp = jnp.einsum("hwk,hwkd->hwd", frag["bary"], rows)
+            interp = jnp.where(mask[..., None], interp, 0.0)
         pts, nrm, alb = interp[..., 0:3], interp[..., 3:6], interp[..., 6:9]
 
         # camera center in the object frame: -Rᵀ t
