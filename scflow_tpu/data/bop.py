@@ -46,7 +46,9 @@ class BopSequenceAnnots:
     def __init__(self, root: str, sequence: str, with_info: bool = True):
         seq_dir = osp.join(root, sequence)
         self.pose = _load_json(osp.join(seq_dir, "scene_gt.json"))
-        self.camera = _load_json(osp.join(seq_dir, "scene_camera.json"))
+        cam_path = osp.join(seq_dir, "scene_camera.json")
+        # initial-pose roots (e.g. PoseCNN results) carry only scene_gt.json
+        self.camera = _load_json(cam_path) if osp.exists(cam_path) else None
         info_path = osp.join(seq_dir, "scene_gt_info.json")
         self.info = _load_json(info_path) if (with_info and osp.exists(info_path)) else None
 
@@ -58,7 +60,7 @@ class BopSequenceAnnots:
 
     def annots_for(self, img_id: int):
         pose = self._get(self.pose, img_id)
-        cam = self._get(self.camera, img_id)
+        cam = self._get(self.camera, img_id) if self.camera is not None else None
         info = self._get(self.info, img_id) if self.info is not None else None
         return pose, cam, info
 

@@ -31,6 +31,8 @@ from .flow import (  # noqa: F401
     DEFAULT_INVALID_FLOW,
     coords_from_flow,
     endpoint_error,
+    filter_flow_by_depth,
+    filter_flow_by_face_index,
     filter_flow_by_mask,
     flow_from_pose_and_depth,
     flow_from_pose_and_points,

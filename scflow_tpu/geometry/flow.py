@@ -123,3 +123,67 @@ def coords_from_flow(flow: jax.Array) -> jax.Array:
     """Absolute target coordinates = pixel grid + flow (reference flow.py:90-103)."""
     h, w = flow.shape[-3], flow.shape[-2]
     return pixel_grid(h, w, flow.dtype) + flow
+
+
+def filter_flow_by_depth(flow: jax.Array, depth_src: jax.Array,
+                         depth_target: jax.Array, k: jax.Array,
+                         rotation_src: jax.Array, translation_src: jax.Array,
+                         rotation_target: jax.Array,
+                         translation_target: jax.Array,
+                         consistency_thr: float = 0.05,
+                         invalid_num: float = DEFAULT_INVALID_FLOW) -> jax.Array:
+    """LoFTR-style depth-consistency flow filter.
+
+    A flow vector is kept only if the source pixel's 3D point, transformed
+    into the target camera, has a depth consistent (relative error below
+    ``consistency_thr``) with the target render's depth sampled at the flow
+    landing point (reference models/utils/flow.py:28-45,
+    filter_flow_by_depth). Dense batched re-design: nearest-sampled target
+    depth instead of per-point index lists.
+
+    Args:
+      flow: (..., H, W, 2) source→target flow.
+      depth_src/depth_target: (..., H, W) rendered depths.
+      k: (..., 3, 3); poses: source and target object poses.
+    """
+    from .se3 import invert_pose
+
+    # source pixel → object-frame point → target camera z
+    _, pts_obj = unproject_depth(depth_src, k, rotation_src, translation_src)
+    z_in_target = (jnp.einsum("...ij,...hwj->...hwi", rotation_target,
+                              pts_obj)[..., 2]
+                   + translation_target[..., 2][..., None, None])
+
+    h, w = depth_target.shape[-2], depth_target.shape[-1]
+    grid = pixel_grid(h, w, flow.dtype)
+    target = grid + flow
+    tx = jnp.clip(jnp.round(target[..., 0]).astype(jnp.int32), 0, w - 1)
+    ty = jnp.clip(jnp.round(target[..., 1]).astype(jnp.int32), 0, h - 1)
+    flat = depth_target.reshape(depth_target.shape[:-2] + (h * w,))
+    idx = (ty * w + tx).reshape(ty.shape[:-2] + (h * w,))
+    sampled = jnp.take_along_axis(flat, idx, axis=-1).reshape(ty.shape)
+
+    rel_err = jnp.abs(sampled - z_in_target) / jnp.maximum(z_in_target, 1e-6)
+    ok = ((depth_src > 0) & (sampled > 0)
+          & (rel_err < consistency_thr))
+    return jnp.where(ok[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
+
+
+def filter_flow_by_face_index(flow: jax.Array, face_id_src: jax.Array,
+                              face_id_target: jax.Array,
+                              invalid_num: float = DEFAULT_INVALID_FLOW) -> jax.Array:
+    """Keep flow only where source and landing pixels see the same mesh face
+    (reference models/utils/flow.py:47-59, filter_flow_by_face_index).
+
+    face_id_*: (..., H, W) int32 rasterizer face ids (-1 = background).
+    """
+    h, w = face_id_target.shape[-2], face_id_target.shape[-1]
+    grid = pixel_grid(h, w, flow.dtype)
+    target = grid + flow
+    tx = jnp.clip(jnp.round(target[..., 0]).astype(jnp.int32), 0, w - 1)
+    ty = jnp.clip(jnp.round(target[..., 1]).astype(jnp.int32), 0, h - 1)
+    flat = face_id_target.reshape(face_id_target.shape[:-2] + (h * w,))
+    idx = (ty * w + tx).reshape(ty.shape[:-2] + (h * w,))
+    landed = jnp.take_along_axis(flat, idx, axis=-1).reshape(ty.shape)
+    ok = (face_id_src >= 0) & (landed == face_id_src)
+    return jnp.where(ok[..., None], flow, jnp.asarray(invalid_num, flow.dtype))

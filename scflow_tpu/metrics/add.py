@@ -196,3 +196,37 @@ class ADDMetric:
         out["instance/auc"] = add_auc(errs, self.max_auc_error_mm)
         out["num_instances"] = len(self._records)
         return out
+
+
+def format_metric_table(results: dict, class_names=None,
+                        add_thresholds=(0.05, 0.10, 0.20, 0.50),
+                        rep_thresholds=(2.0, 5.0, 10.0)) -> str:
+    """Render the per-class accuracy table as aligned text (the reference's
+    AsciiTable report, metrics/add.py:334-342)."""
+    if not results:
+        return "(no results)"
+    classes = sorted({k.split("/")[0] for k in results
+                      if "/" in k and not k.startswith(("average", "instance"))})
+    add_cols = [f"add_{t:.2f}d" for t in add_thresholds]
+    rep_cols = [f"rep_{int(t)}px" for t in rep_thresholds]
+    cols = ["class"] + add_cols + rep_cols + ["auc"]
+    rows = [cols]
+    for c in classes + ["average"]:
+        row = [c]
+        for col in add_cols + rep_cols + ["auc"]:
+            v = results.get(f"{c}/{col}")
+            row.append("-" if v is None else f"{100 * v:.2f}")
+        rows.append(row)
+    widths = [max(len(r[i]) for r in rows) for i in range(len(cols))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    lines = [sep]
+    for i, r in enumerate(rows):
+        lines.append("| " + " | ".join(v.ljust(w) for v, w in zip(r, widths))
+                     + " |")
+        if i == 0:
+            lines.append(sep)
+    lines.append(sep)
+    if "instance/auc" in results:
+        lines.append(f"instance AUC: {100 * results['instance/auc']:.2f}  "
+                     f"({results.get('num_instances', 0)} instances)")
+    return "\n".join(lines)

@@ -55,7 +55,8 @@ def load_ply(path: str) -> dict:
                 if parts[1] == "list":
                     cur["props"].append(("list", parts[2], parts[3], parts[4]))
                 else:
-                    cur["props"].append((parts[1], parts[2]))
+                    # (name, type)
+                    cur["props"].append((parts[2], parts[1]))
 
         data = {}
         if fmt == "ascii":

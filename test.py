@@ -53,7 +53,8 @@ def main():
 
     from scflow_tpu.data.bop import RefineDataset
     from scflow_tpu.data.loader import TestBatchBuilder, pad_to_batch
-    from scflow_tpu.metrics import ADDMetric, write_bop_results
+    from scflow_tpu.metrics import (ADDMetric, format_metric_table,
+                                    write_bop_results)
     from scflow_tpu.rendering import Renderer, load_mesh_dir
     from scflow_tpu.training import (Config, DataConfig, ModelConfig,
                                      YCBV_CLASS_NAMES, YCBV_MESH_DIAMETERS,
@@ -135,6 +136,7 @@ def main():
         print(f"wrote {len(paths)} BOP scene files to {save_dir}")
     if not args.format_only:
         metrics = metric.compute()
+        print(format_metric_table(metrics))
         for k in sorted(metrics):
             if k.startswith(("average/", "instance/")) or k == "num_instances":
                 print(f"{k}: {metrics[k]}")

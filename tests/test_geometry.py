@@ -235,3 +235,60 @@ class TestAddErrors:
         expect = np.einsum("bij,bnj->bni", np.asarray(r), np.asarray(pts)) \
             + np.asarray(t)[:, None]
         np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+class TestFlowFilters:
+    def _flow_scene(self):
+        import jax.numpy as jnp
+
+        # source depth: flat plane at z=500 in a 16x16 window
+        h = w = 32
+        depth = jnp.zeros((1, h, w))
+        depth = depth.at[:, 8:24, 8:24].set(500.0)
+        k = jnp.array([[[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]]])
+        eye = jnp.eye(3)[None]
+        t = jnp.array([[0.0, 0.0, 500.0]])
+        return depth, k, eye, t
+
+    def test_filter_by_depth_identity(self):
+        import jax.numpy as jnp
+
+        from scflow_tpu.geometry import filter_flow_by_depth
+
+        depth, k, r, t = self._flow_scene()
+        flow = jnp.zeros((1, 32, 32, 2))
+        out = filter_flow_by_depth(flow, depth, depth, k, r, t, r, t,
+                                   invalid_num=400.0)
+        # zero flow between identical renders is fully consistent on fg
+        assert float(jnp.abs(out[0, 8:24, 8:24]).max()) == 0.0
+        # background is invalidated
+        assert float(out[0, 0, 0, 0]) == 400.0
+
+    def test_filter_by_depth_occlusion(self):
+        import jax.numpy as jnp
+
+        from scflow_tpu.geometry import filter_flow_by_depth
+
+        depth, k, r, t = self._flow_scene()
+        # target depth much closer -> inconsistent -> filtered
+        target_depth = jnp.where(depth > 0, 250.0, 0.0)
+        flow = jnp.zeros((1, 32, 32, 2))
+        out = filter_flow_by_depth(flow, depth, target_depth, k, r, t, r, t,
+                                   invalid_num=400.0)
+        assert float(out[0, 16, 16, 0]) == 400.0
+
+    def test_filter_by_face_index(self):
+        import jax.numpy as jnp
+
+        from scflow_tpu.geometry import filter_flow_by_face_index
+
+        fid = -jnp.ones((1, 32, 32), jnp.int32)
+        fid = fid.at[:, 8:24, 8:24].set(7)
+        flow = jnp.zeros((1, 32, 32, 2))
+        out = filter_flow_by_face_index(flow, fid, fid, invalid_num=400.0)
+        assert float(jnp.abs(out[0, 10, 10]).max()) == 0.0
+        assert float(out[0, 0, 0, 0]) == 400.0
+        # shifted flow landing on background -> filtered
+        flow2 = jnp.full((1, 32, 32, 2), 20.0)
+        out2 = filter_flow_by_face_index(flow2, fid, fid, invalid_num=400.0)
+        assert float(out2[0, 10, 10, 0]) == 400.0

@@ -128,3 +128,20 @@ class TestBopWriter:
         assert "1" in data and len(data["1"]) == 2
         assert data["1"][0]["obj_id"] == 1
         assert data["1"][1]["obj_id"] == 5
+
+
+def test_format_metric_table():
+    from scflow_tpu.metrics import format_metric_table
+
+    results = {
+        "mug/add_0.05d": 0.5, "mug/add_0.10d": 0.75, "mug/add_0.20d": 0.9,
+        "mug/add_0.50d": 1.0, "mug/rep_2px": 0.4, "mug/rep_5px": 0.8,
+        "mug/rep_10px": 0.95, "mug/auc": 0.8123,
+        "average/add_0.05d": 0.5, "average/auc": 0.8123,
+        "instance/auc": 0.8, "num_instances": 10,
+    }
+    table = format_metric_table(results)
+    assert "mug" in table and "average" in table
+    assert "81.23" in table          # auc as percentage
+    assert "instance AUC: 80.00" in table
+    assert format_metric_table({}) == "(no results)"

@@ -178,3 +178,43 @@ class TestBinnedRasterizer:
         xy, z, faces, fvalid = self._scene()
         out = rasterize_binned(xy, z, faces, fvalid, 128, 128, k_faces=512)
         assert (np.asarray(out["face_id"]) >= 0).sum() > 500
+
+
+class TestMeshIO:
+    def test_ascii_ply_roundtrip(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tools.make_synthetic_bop import write_ply
+
+        from scflow_tpu.rendering.meshio import load_ply
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                         np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]],
+                          np.float32)
+        p = str(tmp_path / "mesh.ply")
+        write_ply(p, verts, faces, colors)
+        m = load_ply(p)
+        np.testing.assert_allclose(m["verts"], verts, atol=1e-4)
+        np.testing.assert_array_equal(m["faces"], faces)
+        np.testing.assert_allclose(m["vert_colors"], colors, atol=1 / 255.0)
+
+    def test_binary_ply(self, tmp_path):
+        from scflow_tpu.rendering.meshio import load_ply
+
+        verts = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        p = str(tmp_path / "bin.ply")
+        with open(p, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n"
+                    b"element vertex 3\n"
+                    b"property float x\nproperty float y\nproperty float z\n"
+                    b"element face 1\n"
+                    b"property list uchar int vertex_indices\nend_header\n")
+            f.write(verts.astype("<f4").tobytes())
+            f.write(np.uint8(3).tobytes() + faces.astype("<i4").tobytes())
+        m = load_ply(p)
+        np.testing.assert_allclose(m["verts"], verts)
+        np.testing.assert_array_equal(m["faces"], faces)
