@@ -23,7 +23,7 @@ from flax import struct
 from ..geometry.flow import flow_from_pose_and_points
 from ..geometry.projection import depth_to_correspondences
 from ..geometry.se3 import compose_delta_pose
-from .corr import corr_lookup, correlation_pyramid
+from .corr import corr_lookup_pm, correlation_pyramid_pm
 from .gru import ConvGRU
 from .heads import FlowMaskEmbed, MotionEncoder, PoseHead, XHead
 from .layers import downsample_flow, resize_bilinear_align_corners, upsample_flow
@@ -75,7 +75,7 @@ class _SCFlowIteration(nn.Module):
             mask = jax.lax.stop_gradient(mask)
 
         flow_small = downsample_flow(flow, scale)            # (N, hf, wf, 2)
-        corr = corr_lookup(pyramid, flow_small, radius=self.radius)
+        corr = corr_lookup_pm(pyramid, flow_small, radius=self.radius)
         if self.mask_corr:
             corr = corr * mask
         motion_in_flow = flow_small * mask if self.mask_flow else flow_small
@@ -164,7 +164,7 @@ class SCFlowDecoder(nn.Module):
         hf, wf = feat_render.shape[1], feat_render.shape[2]
         num_iters = self.iters if iters is None else iters
 
-        pyramid = correlation_pyramid(feat_render, feat_real, self.num_levels)
+        pyramid = correlation_pyramid_pm(feat_render, feat_real, self.num_levels)
 
         # Dense 2D-3D correspondences from the rendered depth (the shape
         # constraint's geometry, computed once per forward).
@@ -212,7 +212,7 @@ class _RAFTIteration(nn.Module):
         h_feat, flow = carry  # flow at feature resolution
         scale = self.upsample_factor
         flow = jax.lax.stop_gradient(flow)
-        corr = corr_lookup(pyramid, flow, radius=self.radius)
+        corr = corr_lookup_pm(pyramid, flow, radius=self.radius)
         motion = MotionEncoder(self.net_type, name="motion")(corr, flow)
         x = jnp.concatenate([cxt_feat, motion], axis=-1)
         h_feat = ConvGRU(h_feat.shape[-1], name="gru")(h_feat, x)
@@ -278,7 +278,7 @@ class RAFTDecoder(nn.Module):
         """Returns (upsampled flows (T, N, H, W, 2), occlusions (T, N, H, W, 1))."""
         n, hf, wf, _ = feat1.shape
         num_iters = self.iters if iters is None else iters
-        pyramid = correlation_pyramid(feat1, feat2, self.num_levels)
+        pyramid = correlation_pyramid_pm(feat1, feat2, self.num_levels)
         if init_flow is None:
             init_flow = jnp.zeros((n, hf, wf, 2), feat1.dtype)
         carry = (h_feat, init_flow)

@@ -304,3 +304,32 @@ class TestLocalCorrelation:
         loss_sym = rot_point_matching_loss(
             pred[1:], eye[:1], ring, valid[:1], jnp.ones((1,), bool), diam[:1])
         assert float(loss_sym[0]) < 0.05
+
+
+class TestPixelsMinorCorr:
+    def test_matches_matmul_formulation(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from scflow_tpu.models.corr import (corr_lookup, corr_lookup_pm,
+                                            correlation_pyramid,
+                                            correlation_pyramid_pm)
+
+        n, h, w, c = 2, 16, 16, 64
+        f1 = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+        f2 = jax.random.normal(jax.random.PRNGKey(1), (n, h, w, c))
+        flow = 2.0 * jax.random.normal(jax.random.PRNGKey(2), (n, h, w, 2))
+
+        pyr = correlation_pyramid(f1, f2, 3)
+        pyr_pm = correlation_pyramid_pm(f1, f2, 3)
+        # same values, transposed layout
+        for a, b in zip(pyr, pyr_pm):
+            at = jnp.transpose(a.reshape(n, h * w, *a.shape[-2:]), (0, 2, 3, 1))
+            np.testing.assert_allclose(np.asarray(at), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+        ref = corr_lookup(pyr, flow, radius=3)
+        new = corr_lookup_pm(pyr_pm, flow, radius=3)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   atol=2e-3, rtol=1e-3)
