@@ -2,7 +2,9 @@
 
 Measures end-to-end refinement frames/s (render at initial pose + SCFlow
 8-iteration refinement, BASELINE.md config 2 shapes: 256² crops, 4-level
-pyramid, radius 4, batched single-host inference) and prints ONE JSON line.
+pyramid, radius 4, batched single-host inference at batch 32 — throughput
+saturates there; per-call dispatch overhead of the remote-TPU tunnel is
+amortized) and prints ONE JSON line.
 
 Baseline: the CUDA reference publishes no numbers (BASELINE.md); the SCFlow
 paper reports ~35 ms/frame end-to-end on an RTX 3090 (~28.6 fps). We use
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 REFERENCE_FPS = 30.0
 
 
-def main(batch=16, iters=8, image_size=(256, 256), num_class=21, steps=10):
+def main(batch=32, iters=8, image_size=(256, 256), num_class=21, steps=10):
     from scflow_tpu.data import synthetic_batch
     from scflow_tpu.rendering import Renderer, make_test_meshes
     from scflow_tpu.training import (Config, ModelConfig, build_model,
