@@ -17,3 +17,4 @@ from .layers import (  # noqa: F401
     upsample_flow,
 )
 from .refiner import RAFTRefiner, SCFlowRefiner  # noqa: F401
+from .backbone import Bottleneck, ResNet  # noqa: F401

@@ -71,3 +71,23 @@ class ImageLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+
+
+def sequence_epe_report(seq_flow, gt_flow, valid=None, max_flow=400.0):
+    """Per-iteration EPE / accuracy report for a (T, N, H, W, 2) flow
+    sequence (the reference's eval_seq_epe debug eval,
+    base_refiner.py:464-480, without the disk dumps).
+
+    Returns a list of T dicts with keys epe/acc1/acc3/acc5.
+    """
+    import jax.numpy as jnp
+
+    from ..geometry.flow import endpoint_error
+
+    mag_ok = jnp.linalg.norm(gt_flow, axis=-1) < max_flow
+    v = mag_ok if valid is None else (mag_ok & (valid >= 0.5))
+    out = []
+    for t in range(seq_flow.shape[0]):
+        r = endpoint_error(seq_flow[t], gt_flow, v)
+        out.append({k: float(np.asarray(x)) for k, x in r.items()})
+    return out

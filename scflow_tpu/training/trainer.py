@@ -109,6 +109,10 @@ class Trainer:
                 eval_metrics = eval_fn(self)
                 self._log({"step": step + 1,
                            **{f"eval/{k}": v for k, v in eval_metrics.items()}})
+        if num_steps > start:
+            # always leave a final checkpoint (reference CheckpointHook saves
+            # on schedule only; a trailing save makes short runs resumable)
+            save_checkpoint(ckpt_dir, self.state, num_steps)
         return self.state
 
     # -- evaluation -------------------------------------------------------

@@ -145,3 +145,16 @@ def test_format_metric_table():
     assert "81.23" in table          # auc as percentage
     assert "instance AUC: 80.00" in table
     assert format_metric_table({}) == "(no results)"
+
+
+def test_sequence_epe_report():
+    import jax.numpy as jnp
+
+    from scflow_tpu.training.logging import sequence_epe_report
+
+    gt = jnp.ones((2, 8, 8, 2))
+    seq = jnp.stack([gt * 3.0, gt * 1.5, gt])  # converging to gt
+    rep = sequence_epe_report(seq, gt)
+    assert len(rep) == 3
+    assert rep[0]["epe"] > rep[1]["epe"] > rep[2]["epe"]
+    assert rep[2]["epe"] < 1e-6 and rep[2]["acc1"] == 1.0

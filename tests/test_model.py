@@ -333,3 +333,42 @@ class TestPixelsMinorCorr:
         new = corr_lookup_pm(pyr_pm, flow, radius=3)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
                                    atol=2e-3, rtol=1e-3)
+
+
+class TestResNetBackbone:
+    def test_resnet18_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from scflow_tpu.models import ResNet
+
+        net = ResNet(depth=18, out_indices=(0, 3))
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(lambda: net.init(jax.random.PRNGKey(0), x, False))()
+        o1, o4 = net.apply(v, x, False)
+        assert o1.shape == (1, 16, 16, 64)      # stride 4
+        assert o4.shape == (1, 2, 2, 512)       # stride 32
+
+    def test_resnet50_bottleneck(self):
+        import jax
+        import jax.numpy as jnp
+
+        from scflow_tpu.models import ResNet
+
+        net = ResNet(depth=50)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(lambda: net.init(jax.random.PRNGKey(0), x, False))()
+        out = net.apply(v, x, False)
+        assert out.shape == (1, 2, 2, 2048)     # 4x expansion
+
+    def test_v1d_deep_stem(self):
+        import jax
+        import jax.numpy as jnp
+
+        from scflow_tpu.models import ResNet
+
+        net = ResNet(depth=18, deep_stem=True)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(lambda: net.init(jax.random.PRNGKey(0), x, False))()
+        out = net.apply(v, x, False)
+        assert out.shape == (1, 2, 2, 512)
