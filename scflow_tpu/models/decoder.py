@@ -59,22 +59,29 @@ class _SCFlowIteration(nn.Module):
     detach_depth_for_xy: bool
     invalid_flow_num: float
     dtype: object = None
+    # eval fast path: the pose-flow carry lives at feature resolution and is
+    # computed directly from 4-tap-resampled "effective points" — numerically
+    # the bilinear downsample of the full-res pose flow up to sub-pixel
+    # linearization of the projection (<0.01 px). Train keeps the exact path.
+    lowres: bool = False
+    upsample_factor: int = 8
 
     @nn.compact
-    def __call__(self, carry, pyramid, cxt_feat, label, k, points_3d, valid):
+    def __call__(self, carry, pyramid, cxt_feat, label, k, geom):
         h_feat, flow, mask, rot, trans = carry
         n, hf, wf, _ = cxt_feat.shape
-        h_img, w_img = flow.shape[1], flow.shape[2]
-        # image/feature ratio = encoder stride (8, or 4 for stride4 nets);
-        # NOT 2**(num_levels-1), which only coincides at num_levels=4
-        scale = h_img // hf
+        scale = self.upsample_factor
 
         if self.detach_flow:
             flow = jax.lax.stop_gradient(flow)
         if self.detach_mask:
             mask = jax.lax.stop_gradient(mask)
 
-        flow_small = downsample_flow(flow, scale)            # (N, hf, wf, 2)
+        if self.lowres:
+            flow_small = flow                                # already 1/scale
+        else:
+            h_img, w_img = flow.shape[1], flow.shape[2]
+            flow_small = downsample_flow(flow, scale)        # (N, hf, wf, 2)
         corr = corr_lookup_pm(pyramid, flow_small, radius=self.radius)
         if self.mask_corr:
             corr = corr * mask
@@ -99,8 +106,9 @@ class _SCFlowIteration(nn.Module):
             jnp.concatenate([h_feat.astype(dflow_feat.dtype), dflow_feat,
                              mask_feat], axis=-1), label)
 
-        flow_pred = upsample_flow(flow_small + delta_flow, scale)
-        up_mask = resize_bilinear_align_corners(mask, (h_img, w_img))
+        if not self.lowres:
+            flow_pred = upsample_flow(flow_small + delta_flow, scale)
+            up_mask = resize_bilinear_align_corners(mask, (h_img, w_img))
 
         rot_src = jax.lax.stop_gradient(rot) if self.detach_pose else rot
         trans_src = jax.lax.stop_gradient(trans) if self.detach_pose else trans
@@ -109,6 +117,20 @@ class _SCFlowIteration(nn.Module):
             depth_transform=self.depth_transform,
             detach_depth_for_xy=self.detach_depth_for_xy)
 
+        if self.lowres:
+            p_eff, w_eff, x_eff = geom
+            from ..geometry.projection import project_points
+
+            proj, _ = project_points(
+                p_eff.reshape(n, hf * wf, 3), k, rot_new, trans_new)
+            proj = proj.reshape(n, hf, wf, 2)
+            pose_flow = (w_eff[..., None] * proj - x_eff) / scale
+            carry = (h_feat, pose_flow, mask, rot_new, trans_new)
+            outs = (pose_flow, flow_small + delta_flow, rot_new, trans_new,
+                    mask, drot, dtrans)
+            return carry, outs
+
+        points_3d, valid = geom
         pose_flow = flow_from_pose_and_points(
             rot_new, trans_new, k, points_3d, valid,
             invalid_num=self.invalid_flow_num)
@@ -144,7 +166,8 @@ class SCFlowDecoder(nn.Module):
     def __call__(self, feat_render, feat_real, h_feat, cxt_feat,
                  ref_rotation, ref_translation, depth, k, label,
                  init_flow=None, invalid_flow_num: float = 0.0,
-                 iters: int | None = None) -> SCFlowOutputs:
+                 iters: int | None = None,
+                 lowres: bool = False) -> SCFlowOutputs:
         """Run the recurrent refinement.
 
         Args:
@@ -162,6 +185,7 @@ class SCFlowDecoder(nn.Module):
         """
         n, h_img, w_img = depth.shape
         hf, wf = feat_render.shape[1], feat_render.shape[2]
+        scale = h_img // hf
         num_iters = self.iters if iters is None else iters
 
         pyramid = correlation_pyramid_pm(feat_render, feat_real, self.num_levels)
@@ -171,10 +195,25 @@ class SCFlowDecoder(nn.Module):
         _, points_3d, valid = depth_to_correspondences(
             depth, k, ref_rotation, ref_translation)
 
-        # flow/mask/pose stay float32 (geometry precision); only the conv
-        # stack runs in self.dtype.
-        if init_flow is None:
-            init_flow = jnp.zeros((n, h_img, w_img, 2), jnp.float32)
+        if lowres:
+            # 4-tap effective points at feature resolution: the bilinear
+            # align-corners downsample operator applied to (valid-masked)
+            # points / pixel grid — per iteration the pose flow becomes a
+            # 1/64-size projection instead of a full-res map + downsample.
+            from ..geometry.projection import pixel_grid
+
+            vf = valid.astype(jnp.float32)[..., None]
+            w_eff = resize_bilinear_align_corners(vf, (hf, wf))[..., 0]
+            p_w = resize_bilinear_align_corners(points_3d * vf, (hf, wf))
+            p_eff = p_w / jnp.maximum(w_eff[..., None], 1e-12)
+            grid = pixel_grid(h_img, w_img, jnp.float32)
+            x_eff = resize_bilinear_align_corners(grid[None] * vf, (hf, wf))
+            geom = (p_eff, w_eff, x_eff)
+            init_flow = jnp.zeros((n, hf, wf, 2), jnp.float32)
+        else:
+            geom = (points_3d, valid)
+            if init_flow is None:
+                init_flow = jnp.zeros((n, h_img, w_img, 2), jnp.float32)
         init_mask = jnp.ones((n, hf, wf, 1), jnp.float32)
         if self.dtype is not None:
             h_feat = h_feat.astype(self.dtype)
@@ -192,10 +231,25 @@ class SCFlowDecoder(nn.Module):
           self.detach_mask, self.detach_pose, self.mask_flow, self.mask_corr,
           self.num_class, self.rotation_mode, self.depth_transform,
           self.detach_depth_for_xy, invalid_flow_num, self.dtype,
-          name="iteration")
+          lowres, scale, name="iteration")
 
-        _, outs = scan(carry, pyramid, cxt_feat, label, k, points_3d, valid)
-        return SCFlowOutputs(*outs)
+        _, outs = scan(carry, pyramid, cxt_feat, label, k, geom)
+        if not lowres:
+            return SCFlowOutputs(*outs)
+
+        # lowres eval: reconstruct full-res outputs for the FINAL iteration
+        (pose_flow_lr, flow_pred_sm, rots, transs, masks_lr, drots,
+         dtranss) = outs
+        final_pose_flow = flow_from_pose_and_points(
+            rots[-1], transs[-1], k, points_3d, valid,
+            invalid_num=invalid_flow_num)[None]
+        final_flow_pred = upsample_flow(flow_pred_sm[-1], scale)[None]
+        final_mask = resize_bilinear_align_corners(
+            masks_lr[-1], (h_img, w_img))[None]
+        return SCFlowOutputs(
+            flow_from_pose=final_pose_flow, flow_from_pred=final_flow_pred,
+            rotations=rots, translations=transs, masks=final_mask,
+            delta_rotations=drots, delta_translations=dtranss)
 
 
 class _RAFTIteration(nn.Module):

@@ -73,7 +73,8 @@ class SCFlowRefiner(nn.Module):
 
     def __call__(self, render_images, real_images, ref_rotation,
                  ref_translation, depth, k, label, train: bool = False,
-                 iters: int | None = None) -> SCFlowOutputs:
+                 iters: int | None = None,
+                 lowres: bool = False) -> SCFlowOutputs:
         """Full refinement forward pass.
 
         Args:
@@ -88,7 +89,7 @@ class SCFlowRefiner(nn.Module):
             render_images, real_images, train)
         return self.decoder(feat_render, feat_real, h_feat, cxt_feat,
                             ref_rotation, ref_translation, depth, k, label,
-                            invalid_flow_num=0.0, iters=iters)
+                            invalid_flow_num=0.0, iters=iters, lowres=lowres)
 
 
 class RAFTRefiner(nn.Module):

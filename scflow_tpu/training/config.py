@@ -35,6 +35,10 @@ class ModelConfig:
     # compute dtype for the conv/matmul stack: 'float32' | 'bfloat16'
     # (params and all geometry/pose math stay float32)
     dtype: str = "float32"
+    # eval fast path: carry the pose-induced flow at feature resolution
+    # (bilinear-downsample-equivalent up to <0.01px projection
+    # linearization); full-res outputs are built for the final iteration
+    lowres_eval: bool = True
 
 
 @dataclasses.dataclass

@@ -337,7 +337,8 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
         outputs = model.apply(variables, rendered, batch["real_images"],
                               batch["ref_rotations"], batch["ref_translations"],
                               depth, batch["k"], batch["labels"], train=False,
-                              iters=cfg.model.test_iters)
+                              iters=cfg.model.test_iters,
+                              lowres=cfg.model.lowres_eval)
         return {
             "rotations": outputs.rotations[-1],
             "translations": outputs.translations[-1],

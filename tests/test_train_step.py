@@ -206,3 +206,49 @@ class TestRaftFamily:
 
         with pytest.raises(ValueError):
             build_model(self._cfg("bogus"))
+
+
+class TestLowresEval:
+    def test_lowres_matches_exact(self):
+        import jax
+        import numpy as np
+
+        from scflow_tpu.data import synthetic_batch
+        from scflow_tpu.rendering import Renderer, make_test_meshes
+        from scflow_tpu.training import (Config, ModelConfig,
+                                         build_model, build_points_bank,
+                                         render_at_pose)
+        from scflow_tpu.training.steps import (init_train_state,
+                                               make_eval_step, make_optimizer)
+
+        bank = make_test_meshes(num_classes=2, subdivisions=1, radius=50.0)
+        renderer = Renderer(bank, image_size=(64, 64))
+        points = build_points_bank(bank, num_points=64)
+        batch = synthetic_batch(jax.random.PRNGKey(0), renderer, 2)
+        rendered, depth, mask = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], (0., 0., 0.), (255., 255., 255.))
+        sample = dict(batch, rendered_images=rendered, rendered_depths=depth,
+                      rendered_masks=mask)
+
+        outs = {}
+        for lowres in (False, True):
+            cfg = Config(model=ModelConfig(num_class=2, iters=2, test_iters=2,
+                                           feat_channels=64, h_channels=32,
+                                           cxt_channels=32, num_levels=2,
+                                           radius=2, lowres_eval=lowres))
+            model = build_model(cfg)
+            tx, _ = make_optimizer(cfg)
+            state = init_train_state(cfg, model, tx, jax.random.PRNGKey(1),
+                                     sample)
+            ev = make_eval_step(model, renderer, cfg)
+            outs[lowres] = ev(state.params, state.batch_stats, batch)
+
+        # identical params (same init key) -> near-identical poses; the only
+        # difference is <0.01px linearization in the pose-flow resample
+        np.testing.assert_allclose(np.asarray(outs[True]["rotations"]),
+                                   np.asarray(outs[False]["rotations"]),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(outs[True]["translations"]),
+                                   np.asarray(outs[False]["translations"]),
+                                   rtol=2e-3, atol=0.5)
