@@ -76,6 +76,14 @@ class TrainBatchBuilder:
             "init_trans_error": np.float32(trans_err),
         }
 
+    def spawn(self, worker_id: int) -> "TrainBatchBuilder":
+        """Clone with an independent RNG stream (for prefetch workers)."""
+        clone = TrainBatchBuilder(self.dataset, self.cfg, self.mesh_points,
+                                  self.diameters)
+        clone.rng = np.random.default_rng(
+            [int(self.rng.integers(1 << 31)), worker_id])
+        return clone
+
     def __call__(self) -> dict:
         samples = []
         while len(samples) < self.cfg.data.batch_size:
@@ -158,20 +166,57 @@ def pad_to_batch(batch: dict, batch_size: int) -> dict:
     return out
 
 
-def prefetch(iterator_fn, num_prefetch: int = 2) -> Iterator[dict]:
-    """Run ``iterator_fn()`` in a background thread with a small queue."""
+def prefetch(iterator_fn, num_prefetch: int = 4,
+             num_workers: int = 3) -> Iterator[dict]:
+    """Run ``iterator_fn()`` in background threads with a small queue.
+
+    The reference uses 8 DataLoader worker *processes*
+    (configs/refine_models/scflow_ycbv_pbr.py); here a few threads suffice —
+    cv2/libjpeg/numpy release the GIL for the heavy parts, and the builders
+    draw independent random samples so concurrent calls are safe as long as
+    ``iterator_fn`` tolerates concurrent invocation (TrainBatchBuilder does:
+    each worker gets its own RNG via ``iterator_fn.spawn(i)`` when the
+    callable provides it — numpy Generators are not thread-safe).
+    """
     q: queue.Queue = queue.Queue(maxsize=num_prefetch)
     stop = threading.Event()
 
-    def worker():
-        while not stop.is_set():
-            try:
-                q.put(iterator_fn(), timeout=1.0)
-            except queue.Full:
-                continue
+    num_workers = max(1, num_workers)
+    if hasattr(iterator_fn, "spawn"):
+        fns = [iterator_fn.spawn(i) for i in range(num_workers)]
+    else:
+        fns = [iterator_fn]
 
-    th = threading.Thread(target=worker, daemon=True)
-    th.start()
+    def worker(fn):
+        while not stop.is_set():
+            batch = fn()
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    threads = [threading.Thread(target=worker, args=(fn,), daemon=True)
+               for fn in fns]
+    for th in threads:
+        th.start()
+
+    def _shutdown():
+        # stop workers before interpreter teardown — a daemon thread killed
+        # mid-C++ (cv2/libjpeg) aborts the process
+        stop.set()
+        while True:          # drain so put() unblocks
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        for th in threads:
+            th.join(timeout=2.0)
+
+    import atexit
+
+    atexit.register(_shutdown)
     try:
         while True:
             yield q.get()
