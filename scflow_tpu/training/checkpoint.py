@@ -143,10 +143,14 @@ def convert_torch_checkpoint(torch_state: dict,
     for i, name in enumerate(["flow_net.0.conv", "flow_net.1.conv"]):
         conv(f"{it}/motion/flow_conv{i}", f"decoder.encoder.{name}")
     conv(f"{it}/motion/out_conv", "decoder.encoder.out_net.0.conv")
-    # GRU
+    # GRU (raw nn.Conv modules — no ConvBlock nesting)
     for i in range(2):
         for g in ("z", "r", "q"):
-            conv(f"{it}/gru/conv_{g}_{i}", f"decoder.gru.conv_{g}.{i}.conv")
+            src = f"decoder.gru.conv_{g}.{i}.conv"
+            put(f"{it}/gru/conv_{g}_{i}/kernel",
+                _conv_kernel(torch_state[f"{src}.weight"]))
+            if f"{src}.bias" in torch_state:
+                put(f"{it}/gru/conv_{g}_{i}/bias", torch_state[f"{src}.bias"])
     # flow / mask heads
     conv(f"{it}/flow_head/conv0", "decoder.flow_pred.layers.0.conv")
     put(f"{it}/flow_head/predict/kernel",
