@@ -17,6 +17,7 @@ import numpy as np
 
 from ..training.config import Config, JitterConfig
 from .bop import RefineDataset, SuperviseTrainDataset
+from .color_aug import default_train_augs
 from .pipeline import (crop_resize_pad, jitter_pose_np, normalize_image,
                        project_bbox)
 
@@ -62,7 +63,10 @@ class TrainBatchBuilder:
             item["image"], bbox, k, self.cfg.data.image_scale,
             size_ratio=size_ratio, mask=item["gt_masks"][i])
 
-        img = normalize_image(crop.patch, self.cfg.data.normalize_mean,
+        patch = crop.patch
+        if self.cfg.data.color_aug:
+            patch = default_train_augs(self.rng, patch)
+        img = normalize_image(patch, self.cfg.data.normalize_mean,
                               self.cfg.data.normalize_std)
         return {
             "real_images": img.astype(np.float32),

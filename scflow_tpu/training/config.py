@@ -35,6 +35,11 @@ class ModelConfig:
     # compute dtype for the conv/matmul stack: 'float32' | 'bfloat16'
     # (params and all geometry/pose math stay float32)
     dtype: str = "float32"
+    # multi-cycle training / multi-pass testing (reference
+    # train_cfg.cycles / test_cfg.cycles, base_refiner.py:254-294):
+    # re-render at the refined pose between cycles/passes
+    train_cycles: int = 1
+    test_passes: int = 1
     # eval fast path: carry the pose-induced flow at feature resolution
     # (bilinear-downsample-equivalent up to <0.01px projection
     # linearization); full-res outputs are built for the final iteration
@@ -95,6 +100,10 @@ class DataConfig:
     normalize_mean: tuple = (0.0, 0.0, 0.0)
     normalize_std: tuple = (255.0, 255.0, 255.0)
     min_visib_fract: float = 0.2
+    # train-time photometric augmentation of the real-image crop (the
+    # shipped recipe applies HSV -> noise -> smooth,
+    # configs/refine_models/scflow_ycbv_pbr.py:69-71)
+    color_aug: bool = True
 
 
 @dataclasses.dataclass

@@ -36,10 +36,25 @@ class Trainer:
         self.model = build_model(self.cfg)
         self.tx, self.schedule = make_optimizer(self.cfg)
         self.mesh = make_mesh() if self.use_mesh else None
-        self.train_step = make_train_step(self.model, self.renderer,
-                                          self.points_bank, self.cfg, self.tx,
-                                          donate=True)
-        self.eval_step = make_eval_step(self.model, self.renderer, self.cfg)
+        if self.cfg.model.train_cycles > 1:
+            from .steps import make_multi_cycle_train_step
+
+            self.train_step = make_multi_cycle_train_step(
+                self.model, self.renderer, self.points_bank, self.cfg,
+                self.tx, cycles=self.cfg.model.train_cycles)
+        else:
+            self.train_step = make_train_step(self.model, self.renderer,
+                                              self.points_bank, self.cfg,
+                                              self.tx, donate=True)
+        if self.cfg.model.test_passes > 1:
+            from .steps import make_multi_pass_eval_step
+
+            self.eval_step = make_multi_pass_eval_step(
+                self.model, self.renderer, self.cfg,
+                passes=self.cfg.model.test_passes)
+        else:
+            self.eval_step = make_eval_step(self.model, self.renderer,
+                                            self.cfg)
         self.state: TrainState | None = None
         self._log_file = None
 

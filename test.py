@@ -20,6 +20,8 @@ def parse_args():
     p.add_argument("--mesh-dir", default=None)
     p.add_argument("--mesh-ext", default="ply")
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--passes", type=int, default=1,
+                   help="multi-pass refinement (re-render between passes)")
     p.add_argument("--num-classes", type=int, default=21)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--max-objects", type=int, default=16,
@@ -63,7 +65,8 @@ def main():
     from scflow_tpu.training.trainer import Trainer
 
     cfg = Config(model=ModelConfig(num_class=args.num_classes,
-                                   iters=args.iters, test_iters=args.iters),
+                                   iters=args.iters, test_iters=args.iters,
+                                   test_passes=args.passes),
                  data=DataConfig(image_scale=args.image_size),
                  work_dir=args.work_dir)
     bank = load_mesh_dir(args.mesh_dir, ext=args.mesh_ext)

@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--cycles", type=int, default=None,
+                   help="multi-cycle training (re-render between cycles)")
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
@@ -59,6 +61,8 @@ def resolve_config(args):
         m.num_class = args.num_classes
     if args.iters is not None:
         m.iters = m.test_iters = args.iters
+    if args.cycles is not None:
+        m.train_cycles = args.cycles
     if args.lr is not None:
         o.lr = args.lr
     if args.steps is not None:
