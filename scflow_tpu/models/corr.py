@@ -49,6 +49,12 @@ def _axis_weights(targets: jax.Array, size: int) -> jax.Array:
     (partially out-of-range samples keep only the in-range neighbor's
     contribution).
     """
+    if size == 1:
+        # degenerate level: torch grid_sample's align_corners mapping
+        # x_in = (x_norm + 1)/2·(W-1) collapses every coordinate to pixel 0
+        # (in range, weight 1) — replicate exactly.
+        return jnp.ones(targets.shape[:-1] + (1, targets.shape[-1]),
+                        targets.dtype)
     idx = jnp.arange(size, dtype=targets.dtype)
     return jnp.maximum(
         0.0, 1.0 - jnp.abs(targets[..., None, :] - idx[:, None]))
@@ -72,8 +78,13 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
       pyramid: list of (N, H, W, Hl, Wl) correlation levels.
       flow: (N, H, W, 2) current flow at feature resolution.
 
-    Returns (N, H, W, L*(2r+1)²) lookup features; tap channels ordered
-    (dy, dx) row-major per level, levels concatenated.
+    Returns (N, H, W, L*(2r+1)²) lookup features; levels concatenated.
+
+    Tap channel order matches the reference exactly (checkpoint-compatible):
+    reference CorrLookup builds its tap offsets with ``meshgrid(dy, dx)`` but
+    adds them to an (x, y)-ordered grid (corr_lookup.py:115-123), so channel
+    (a, b) row-major samples at (x + d_a, y + d_b) — the *x*-offset is the
+    major tap axis.
     """
     n, h, w, _ = flow.shape
     r = radius
@@ -97,8 +108,8 @@ def corr_lookup(pyramid: list[jax.Array], flow: jax.Array,
         c = corr.reshape(-1, hl, wl)                    # (B, Hl, Wl)
         a = jax.lax.dot_general(c, wx, (((2,), (1,)), ((0,), (0,))))
         samp = jax.lax.dot_general(a, wy, (((1,), (1,)), ((0,), (0,))))
-        # samp: (B, Kx, Jy) → order taps (dy, dx) row-major
-        out.append(jnp.swapaxes(samp, -1, -2).reshape(n, h, w, k * k))
+        # samp: (B, Kx, Ky) — x-offset major, the reference's channel order
+        out.append(samp.reshape(n, h, w, k * k))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -174,7 +185,8 @@ def corr_lookup_pm(pyramid_pm: list[jax.Array], flow: jax.Array,
       pyramid_pm: list of (N, Hl, Wl, P) levels (correlation_pyramid_pm).
       flow: (N, H, W, 2) flow at feature resolution.
 
-    Returns (N, H, W, L·(2r+1)²), tap channels (dy, dx) row-major.
+    Returns (N, H, W, L·(2r+1)²); tap channel order identical to
+    :func:`corr_lookup` (x-offset major, reference-checkpoint compatible).
     """
     n, h, w, _ = flow.shape
     p = h * w
@@ -194,12 +206,21 @@ def corr_lookup_pm(pyramid_pm: list[jax.Array], flow: jax.Array,
         jx = jnp.arange(wl, dtype=flow.dtype)
         iy = jnp.arange(hl, dtype=flow.dtype)
         # dense bilinear weights; zero outside range = grid_sample zero pad
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
-            tx[:, None] - jx[None, :, None, None]))             # (N, Wl, K, P)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
-            ty[:, None] - iy[None, :, None, None]))             # (N, Hl, K, P)
+        # (size-1 levels degenerate to weight 1 on pixel 0, as in torch —
+        # see _axis_weights)
+        if wl == 1:
+            wx = jnp.ones((n, 1, k, p), flow.dtype)
+        else:
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+                tx[:, None] - jx[None, :, None, None]))         # (N, Wl, K, P)
+        if hl == 1:
+            wy = jnp.ones((n, 1, k, p), flow.dtype)
+        else:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+                ty[:, None] - iy[None, :, None, None]))         # (N, Hl, K, P)
         t1 = jnp.sum(corr[:, :, :, None, :] * wx[:, None], axis=2)
         t2 = jnp.sum(t1[:, :, None] * wy[:, :, :, None], axis=1)
-        out.append(t2.reshape(n, k * k, p))                      # (dy,dx) major
+        # t2: (N, Ky, Kx, P) → x-offset major like the reference
+        out.append(jnp.swapaxes(t2, 1, 2).reshape(n, k * k, p))
     res = jnp.concatenate(out, axis=1)
     return jnp.transpose(res, (0, 2, 1)).reshape(n, h, w, -1)

@@ -273,6 +273,7 @@ class _RAFTIteration(nn.Module):
         delta_flow = XHead((256,), 2, "flow", name="flow_head")(h_feat)
         flow = flow + delta_flow
 
+        up_weights = None
         if self.convex_upsample and self.net_type == "Basic":
             # 9-way convex combination per upsampled pixel: 9·scale² weights
             up_weights = 0.25 * XHead((256,), 9 * scale * scale, "mask",
@@ -281,12 +282,17 @@ class _RAFTIteration(nn.Module):
         else:
             upflow = upsample_flow(flow, scale)
 
-        occ = None
         if self.predict_mask:
             occ_small = nn.sigmoid(XHead((256,), 1, "mask",
                                          name="occ_head")(h_feat))
-            occ = resize_bilinear_align_corners(
-                occ_small, (flow.shape[1] * scale, flow.shape[2] * scale))
+            if up_weights is not None:
+                # reference upsamples occlusion with the same convex weights
+                # (raft_decoder_mask.py:141-161, upsample_mask)
+                occ = convex_upsample(occ_small, up_weights, scale,
+                                      multiplier=1.0)
+            else:
+                occ = resize_bilinear_align_corners(
+                    occ_small, (flow.shape[1] * scale, flow.shape[2] * scale))
         else:
             occ = jnp.zeros(upflow.shape[:-1] + (1,), upflow.dtype)
 
@@ -294,22 +300,27 @@ class _RAFTIteration(nn.Module):
         return carry, (upflow, occ)
 
 
-def convex_upsample(flow: jax.Array, weights: jax.Array, scale: int) -> jax.Array:
+def convex_upsample(x: jax.Array, weights: jax.Array, scale: int,
+                    multiplier: float | None = None) -> jax.Array:
     """RAFT convex upsampling ×scale with learned 9-way weights.
 
-    flow: (N, h, w, 2); weights: (N, h, w, 9·scale²).
+    x: (N, h, w, C); weights: (N, h, w, 9·scale²); values are multiplied by
+    ``multiplier`` (default: ``scale`` — the flow-magnitude rescale; pass 1.0
+    for non-flow fields like occlusion masks, which the reference upsamples
+    with the same weights, raft_decoder_mask.py:141-161).
     Semantics of reference RAFTDecoder._upsample (raft_decoder.py:381-416).
     """
-    n, h, w, _ = flow.shape
+    n, h, w, c = x.shape
+    mult = float(scale) if multiplier is None else multiplier
     win = weights.reshape(n, h, w, 9, scale, scale)
     win = jax.nn.softmax(win, axis=3)
-    # 3×3 neighborhoods of scale*flow (zero padded)
-    fpad = jnp.pad(flow * scale, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3×3 neighborhoods of mult*x (zero padded)
+    fpad = jnp.pad(x * mult, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.stack([
         fpad[:, dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
-    ], axis=3)  # (N, h, w, 9, 2)
-    up = jnp.einsum("nhwkab,nhwkc->nhwabc", win, patches)  # (N,h,w,s,s,2)
-    return up.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * scale, w * scale, 2)
+    ], axis=3)  # (N, h, w, 9, C)
+    up = jnp.einsum("nhwkab,nhwkc->nhwabc", win, patches)  # (N,h,w,s,s,C)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * scale, w * scale, c)
 
 
 class RAFTDecoder(nn.Module):

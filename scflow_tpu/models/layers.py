@@ -23,7 +23,7 @@ def instance_norm(channels: int, name: str | None = None) -> nn.Module:
     Stands in for the reference's IN feature-encoder norm
     (configs/refine_models/scflow_ycbv_pbr.py:181). Affine params included.
     """
-    return nn.GroupNorm(num_groups=channels, name=name)
+    return nn.GroupNorm(num_groups=channels, epsilon=1e-5, name=name)
 
 
 class ConvBlock(nn.Module):
@@ -47,12 +47,18 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pad, use_bias=self.use_bias, dtype=self.dtype,
                     name="conv")(x)
+        # norm eps/momentum match torch defaults (numerical parity with the
+        # reference and its published checkpoints: torch eps=1e-5, BN
+        # momentum=0.1 ⇒ flax momentum=0.9)
         if self.norm == "in":
-            x = nn.GroupNorm(num_groups=self.features, name="norm")(x)
+            x = nn.GroupNorm(num_groups=self.features, epsilon=1e-5,
+                             name="norm")(x)
         elif self.norm == "bn":
-            x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             momentum=0.9, name="norm")(x)
         elif self.norm == "gn":
-            x = nn.GroupNorm(num_groups=self.gn_groups, name="norm")(x)
+            x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                             name="norm")(x)
         if self.act is not None:
             x = self.act(x)
         return x
