@@ -42,11 +42,17 @@ class TrainBatchBuilder:
 
     def _one_sample(self) -> dict | None:
         idx = int(self.rng.integers(len(self.dataset)))
-        item = self.dataset[idx]
+        # pass our own RNG: the dataset object is shared across prefetch
+        # workers and numpy Generators are not thread-safe
+        item = self.dataset.get(idx, self.rng)
         if item is None:
             return None
         # one object per crop (reference sample_num=1 recipe)
         i = int(self.rng.integers(len(item["labels"])))
+        return self._prep_object(item, i)
+
+    def _prep_object(self, item: dict, i: int) -> dict:
+        """Jitter + crop one object of a loaded image into a train sample."""
         label = int(item["labels"][i])
         gt_r = item["gt_rotations"][i]
         gt_t = item["gt_translations"][i]
@@ -82,8 +88,8 @@ class TrainBatchBuilder:
 
     def spawn(self, worker_id: int) -> "TrainBatchBuilder":
         """Clone with an independent RNG stream (for prefetch workers)."""
-        clone = TrainBatchBuilder(self.dataset, self.cfg, self.mesh_points,
-                                  self.diameters)
+        clone = type(self)(self.dataset, self.cfg, self.mesh_points,
+                           self.diameters)
         clone.rng = np.random.default_rng(
             [int(self.rng.integers(1 << 31)), worker_id])
         return clone
@@ -95,6 +101,64 @@ class TrainBatchBuilder:
             if s is not None:
                 samples.append(s)
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class SceneTrainBatchBuilder(TrainBatchBuilder):
+    """Scene-batched training (BASELINE.md config 4): every visible object
+    of each sampled image becomes an object slot; images' slots are padded
+    to ``slots_per_image`` and masked with ``sample_valid`` so the loss and
+    the context encoder's BN statistics ignore the filler slots.
+
+    The flattened batch is (num_images × slots_per_image, ...) — one shared
+    jitted train step serves both the single-object and the scene recipes
+    (fixed shapes; reference analogue is the ragged ``per_img_patch_num``
+    handling in models/refiner/base_refiner.py:95,160-167).
+
+    The dataset should be constructed with ``sample_num=-1`` (all objects).
+    """
+
+    def __init__(self, dataset: SuperviseTrainDataset, cfg: Config,
+                 mesh_points_per_class: list[np.ndarray],
+                 mesh_diameters: list[float], seed: int = 0,
+                 num_images: int = 4, slots_per_image: int = 4):
+        super().__init__(dataset, cfg, mesh_points_per_class, mesh_diameters,
+                         seed)
+        self.num_images = num_images
+        self.slots_per_image = slots_per_image
+
+    def spawn(self, worker_id: int) -> "SceneTrainBatchBuilder":
+        clone = SceneTrainBatchBuilder(
+            self.dataset, self.cfg, self.mesh_points, self.diameters,
+            num_images=self.num_images, slots_per_image=self.slots_per_image)
+        clone.rng = np.random.default_rng(
+            [int(self.rng.integers(1 << 31)), worker_id])
+        return clone
+
+    def _one_scene(self) -> list[dict] | None:
+        idx = int(self.rng.integers(len(self.dataset)))
+        item = self.dataset.get(idx, self.rng)
+        if item is None:
+            return None
+        n = len(item["labels"])
+        order = (self.rng.permutation(n)[:self.slots_per_image]
+                 if n > self.slots_per_image else range(n))
+        return [self._prep_object(item, int(i)) for i in order]
+
+    def __call__(self) -> dict:
+        scenes = []
+        while len(scenes) < self.num_images:
+            s = self._one_scene()
+            if s:
+                scenes.append(s)
+        slots, valid = [], []
+        for scene in scenes:
+            pad = self.slots_per_image - len(scene)
+            slots.extend(scene)
+            slots.extend([scene[0]] * pad)      # filler: copy of slot 0
+            valid.extend([1.0] * len(scene) + [0.0] * pad)
+        batch = {k: np.stack([s[k] for s in slots]) for k in slots[0]}
+        batch["sample_valid"] = np.asarray(valid, np.float32)
+        return batch
 
 
 class TestBatchBuilder:

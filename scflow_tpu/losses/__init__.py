@@ -36,23 +36,33 @@ def sequence_loss(per_iter_loss: jax.Array, gamma: float = 0.8):
 
 def raft_flow_loss(pred_flow: jax.Array, gt_flow: jax.Array,
                    valid: jax.Array | None = None,
-                   max_flow: float = 400.0) -> jax.Array:
+                   max_flow: float = 400.0,
+                   sample_weight: jax.Array | None = None) -> jax.Array:
     """Masked L1 flow loss (reference RAFTLoss, sequence_loss.py:8-23).
 
-    pred_flow/gt_flow: (..., H, W, 2); valid: (..., H, W) or None.
+    pred_flow/gt_flow: (..., H, W, 2); valid: (..., H, W) or None;
+    sample_weight: (N,) 0/1 per-sample weight (padded batch slots).
     """
     mag = jnp.linalg.norm(gt_flow, axis=-1)
     v = mag < max_flow
     if valid is not None:
         v = v & (valid >= 0.5)
     v = v.astype(gt_flow.dtype)
+    if sample_weight is not None:
+        v = v * sample_weight.astype(v.dtype)[:, None, None]
     l1 = jnp.abs(pred_flow - gt_flow)
     return jnp.sum(v[..., None] * l1) / (jnp.sum(v) + _EPS)
 
 
-def mask_l1_loss(pred_mask: jax.Array, gt_mask: jax.Array) -> jax.Array:
-    """Plain mean L1 (reference L1Loss, sequence_loss.py:28-36)."""
-    return jnp.mean(jnp.abs(pred_mask - gt_mask))
+def mask_l1_loss(pred_mask: jax.Array, gt_mask: jax.Array,
+                 sample_weight: jax.Array | None = None) -> jax.Array:
+    """Mean L1 (reference L1Loss, sequence_loss.py:28-36); with
+    ``sample_weight`` (N,), a per-sample weighted mean over (N, H, W)."""
+    if sample_weight is None:
+        return jnp.mean(jnp.abs(pred_mask - gt_mask))
+    w = sample_weight.astype(pred_mask.dtype)
+    per_sample = jnp.mean(jnp.abs(pred_mask - gt_mask), axis=(-2, -1))
+    return jnp.sum(per_sample * w) / (jnp.sum(w) + _EPS)
 
 
 def _nearest_match(target: jax.Array, pred: jax.Array,
@@ -157,8 +167,12 @@ def rot_point_matching_loss(pred_r, gt_r, points, point_valid, symmetric,
 def sequence_pose_loss(seq_r, seq_t, gt_r, gt_t, points, point_valid,
                        symmetric, diameters, gamma: float = 0.8,
                        loss_weight: float = 10.0, loss_type: str = "l1",
-                       disentangled: bool = True, disentangle_z: bool = True):
-    """Sequence-weighted pose loss over (T, N, ...) pose predictions."""
+                       disentangled: bool = True, disentangle_z: bool = True,
+                       sample_weight=None):
+    """Sequence-weighted pose loss over (T, N, ...) pose predictions.
+
+    ``sample_weight`` (N,) turns the per-iteration batch mean into a
+    weighted mean so padded slots contribute nothing."""
     def per_iter(r, t):
         if disentangled:
             l = disentangled_point_matching_loss(
@@ -167,7 +181,10 @@ def sequence_pose_loss(seq_r, seq_t, gt_r, gt_t, points, point_valid,
         else:
             l = point_matching_loss(r, t, gt_r, gt_t, points, point_valid,
                                     symmetric, diameters, loss_type=loss_type)
-        return jnp.mean(l)
+        if sample_weight is None:
+            return jnp.mean(l)
+        w = sample_weight.astype(l.dtype)
+        return jnp.sum(l * w) / (jnp.sum(w) + _EPS)
 
     losses = jax.vmap(per_iter)(seq_r, seq_t)
     total, per = sequence_loss(losses, gamma)
@@ -175,17 +192,19 @@ def sequence_pose_loss(seq_r, seq_t, gt_r, gt_t, points, point_valid,
 
 
 def sequence_flow_loss(seq_flow, gt_flow, valid, gamma: float = 0.8,
-                       loss_weight: float = 0.1, max_flow: float = 400.0):
+                       loss_weight: float = 0.1, max_flow: float = 400.0,
+                       sample_weight=None):
     """Sequence-weighted RAFT flow loss over (T, N, H, W, 2)."""
-    losses = jax.vmap(lambda f: raft_flow_loss(f, gt_flow, valid, max_flow))(
-        seq_flow)
+    losses = jax.vmap(lambda f: raft_flow_loss(
+        f, gt_flow, valid, max_flow, sample_weight))(seq_flow)
     total, per = sequence_loss(losses, gamma)
     return loss_weight * total, loss_weight * per
 
 
 def sequence_mask_loss(seq_mask, gt_mask, gamma: float = 0.8,
-                       loss_weight: float = 10.0):
+                       loss_weight: float = 10.0, sample_weight=None):
     """Sequence-weighted mask L1 over (T, N, H, W)."""
-    losses = jax.vmap(lambda m: mask_l1_loss(m, gt_mask))(seq_mask)
+    losses = jax.vmap(lambda m: mask_l1_loss(m, gt_mask, sample_weight))(
+        seq_mask)
     total, per = sequence_loss(losses, gamma)
     return loss_weight * total, loss_weight * per

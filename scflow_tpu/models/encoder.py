@@ -38,17 +38,19 @@ class RAFTEncoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         stem_ch, base_ch, blocks, strides = _ARCH[self.net_type]
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = ConvBlock(stem_ch, (7, 7), 1 if self.stride4 else 2,
-                      norm=self.norm, dtype=self.dtype, name="stem")(x, train)
+                      norm=self.norm, dtype=self.dtype,
+                      name="stem")(x, train, sample_mask)
         for i, (ch, nb, st) in enumerate(zip(base_ch, blocks, strides)):
             for b in range(nb):
                 x = BasicBlock(ch, stride=st if b == 0 else 1, norm=self.norm,
                                dtype=self.dtype,
-                               name=f"layer{i + 1}_block{b}")(x, train)
+                               name=f"layer{i + 1}_block{b}")(
+                                   x, train, sample_mask)
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                     name="conv_out")(x)
         return x

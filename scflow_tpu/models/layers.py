@@ -42,7 +42,7 @@ class ConvBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         pad = ((self.kernel[0] // 2,) * 2, (self.kernel[1] // 2,) * 2)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pad, use_bias=self.use_bias, dtype=self.dtype,
@@ -54,8 +54,16 @@ class ConvBlock(nn.Module):
             x = nn.GroupNorm(num_groups=self.features, epsilon=1e-5,
                              name="norm")(x)
         elif self.norm == "bn":
+            # sample_mask (N,) excludes padded batch slots from the batch
+            # statistics so padded training batches reproduce the unpadded
+            # computation exactly (variable object counts per scene)
+            mask = None
+            if sample_mask is not None:
+                mask = (sample_mask > 0.5).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                mask = jnp.broadcast_to(mask, x.shape)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                             momentum=0.9, name="norm")(x)
+                             momentum=0.9, name="norm")(x, mask=mask)
         elif self.norm == "gn":
             x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
                              name="norm")(x)
@@ -72,16 +80,16 @@ class BasicBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         identity = x
         out = ConvBlock(self.features, (3, 3), self.stride, norm=self.norm,
-                        dtype=self.dtype, name="conv1")(x, train)
+                        dtype=self.dtype, name="conv1")(x, train, sample_mask)
         out = ConvBlock(self.features, (3, 3), 1, norm=self.norm, act=None,
-                        dtype=self.dtype, name="conv2")(out, train)
+                        dtype=self.dtype, name="conv2")(out, train, sample_mask)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = ConvBlock(self.features, (1, 1), self.stride,
                                  norm=self.norm, act=None, dtype=self.dtype,
-                                 name="downsample")(x, train)
+                                 name="downsample")(x, train, sample_mask)
         return nn.relu(out + identity)
 
 

@@ -63,18 +63,22 @@ class SCFlowRefiner(nn.Module):
             mask_flow=self.mask_flow, mask_corr=self.mask_corr,
             dtype=self.dtype, name="decoder")
 
-    def extract_feat(self, render_images, real_images, train: bool = False):
-        """(render feat, real feat, GRU h, context) — scflow_refiner.py:84-106."""
+    def extract_feat(self, render_images, real_images, train: bool = False,
+                     sample_valid=None):
+        """(render feat, real feat, GRU h, context) — scflow_refiner.py:84-106.
+
+        ``sample_valid`` (N,) excludes padded batch slots from the context
+        encoder's BN statistics (feature encoders use IN — per-sample)."""
         feat_render = self.render_encoder(render_images, train)
         feat_real = self.real_encoder(real_images, train)
-        cxt = self.context(render_images, train)
+        cxt = self.context(render_images, train, sample_valid)
         h_feat, cxt_feat = jnp.split(cxt, [self.h_channels], axis=-1)
         return feat_render, feat_real, jnp.tanh(h_feat), nn.relu(cxt_feat)
 
     def __call__(self, render_images, real_images, ref_rotation,
                  ref_translation, depth, k, label, train: bool = False,
-                 iters: int | None = None,
-                 lowres: bool = False) -> SCFlowOutputs:
+                 iters: int | None = None, lowres: bool = False,
+                 sample_valid=None) -> SCFlowOutputs:
         """Full refinement forward pass.
 
         Args:
@@ -82,11 +86,12 @@ class SCFlowRefiner(nn.Module):
           ref_rotation/(N,3,3), ref_translation/(N,3): rendered (initial) pose.
           depth: (N, H, W) rendered depth.
           k: (N, 3, 3) intrinsics; label: (N,) class ids.
+          sample_valid: optional (N,) 0/1 — padded-slot mask for BN stats.
 
         Returns SCFlowOutputs with (T, N, ...) sequences.
         """
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
-            render_images, real_images, train)
+            render_images, real_images, train, sample_valid)
         return self.decoder(feat_render, feat_real, h_feat, cxt_feat,
                             ref_rotation, ref_translation, depth, k, label,
                             invalid_flow_num=0.0, iters=iters, lowres=lowres)
@@ -121,11 +126,11 @@ class RAFTRefiner(nn.Module):
             predict_mask=self.predict_mask, name="decoder")
 
     def __call__(self, render_images, real_images, train: bool = False,
-                 iters: int | None = None):
+                 iters: int | None = None, sample_valid=None):
         """Returns (flows (T, N, H, W, 2), occlusion masks (T, N, H, W, 1))."""
         feat_render = self.render_encoder(render_images, train)
         feat_real = self.real_encoder(real_images, train)
-        cxt = self.context(render_images, train)
+        cxt = self.context(render_images, train, sample_valid)
         h_feat, cxt_feat = jnp.split(cxt, [self.h_channels], axis=-1)
         h_feat = jnp.tanh(h_feat)
         cxt_feat = nn.relu(cxt_feat)

@@ -120,6 +120,7 @@ def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
     0/1 weight for padded batch entries).
     """
     max_flow = cfg.model.max_flow
+    sample_valid = batch.get("sample_valid")
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
@@ -128,7 +129,7 @@ def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
                       batch["real_images"], batch["ref_rotations"],
                       batch["ref_translations"], batch["rendered_depths"],
                       batch["k"], batch["labels"], train=train,
-                      mutable=mutable)
+                      sample_valid=sample_valid, mutable=mutable)
     if mutable:
         outputs, updates = out
         new_stats = updates.get("batch_stats", batch_stats)
@@ -152,19 +153,20 @@ def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
         gamma=cfg.loss.gamma, loss_weight=cfg.loss.pose_weight,
         loss_type=cfg.loss.pose_loss_type,
         disentangled=cfg.loss.pose_disentangled,
-        disentangle_z=cfg.loss.pose_disentangle_z)
+        disentangle_z=cfg.loss.pose_disentangle_z,
+        sample_weight=sample_valid)
 
     loss_flow, seq_flow = sequence_flow_loss(
         outputs.flow_from_pred, gt_flow, batch["rendered_masks"],
         gamma=cfg.loss.gamma, loss_weight=cfg.loss.flow_weight,
-        max_flow=max_flow)
+        max_flow=max_flow, sample_weight=sample_valid)
 
     # occlusion target: rendered pixels whose gt flow is valid
     # (scflow_refiner.py:228 uses a raw channel sum vs max_flow)
     gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
     loss_mask, seq_mask = sequence_mask_loss(
         outputs.masks[..., 0], gt_occ, gamma=cfg.loss.gamma,
-        loss_weight=cfg.loss.mask_weight)
+        loss_weight=cfg.loss.mask_weight, sample_weight=sample_valid)
 
     loss = loss_pose + loss_flow + loss_mask
     metrics = {
@@ -183,12 +185,14 @@ def raft_loss(params, batch_stats, batch, *, model: RAFTRefiner,
     raft_refiner_flow_mask.py:167-220). ``points_bank`` is unused (kept for
     signature parity with scflow_loss)."""
     max_flow = cfg.model.max_flow
+    sample_valid = batch.get("sample_valid")
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     mutable = ["batch_stats"] if (train and batch_stats) else False
     out = model.apply(variables, batch["rendered_images"],
-                      batch["real_images"], train=train, mutable=mutable)
+                      batch["real_images"], train=train,
+                      sample_valid=sample_valid, mutable=mutable)
     if mutable:
         (flows, masks), updates = out
         new_stats = updates.get("batch_stats", batch_stats)
@@ -205,7 +209,8 @@ def raft_loss(params, batch_stats, batch, *, model: RAFTRefiner,
 
     loss_flow, seq_flow = sequence_flow_loss(
         flows, gt_flow, batch["rendered_masks"], gamma=cfg.loss.gamma,
-        loss_weight=cfg.loss.flow_weight, max_flow=max_flow)
+        loss_weight=cfg.loss.flow_weight, max_flow=max_flow,
+        sample_weight=sample_valid)
     metrics = {"loss_flow": loss_flow, "seq_flow_loss": seq_flow,
                "loss_pose": jnp.zeros(())}
     loss = loss_flow
@@ -213,7 +218,7 @@ def raft_loss(params, batch_stats, batch, *, model: RAFTRefiner,
         gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
         loss_mask, seq_mask = sequence_mask_loss(
             masks[..., 0], gt_occ, gamma=cfg.loss.gamma,
-            loss_weight=cfg.loss.mask_weight)
+            loss_weight=cfg.loss.mask_weight, sample_weight=sample_valid)
         loss = loss + loss_mask
         metrics.update(loss_mask=loss_mask, seq_mask_loss=seq_mask)
     metrics["loss"] = loss
