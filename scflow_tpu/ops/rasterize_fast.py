@@ -88,11 +88,25 @@ def _select_tiles(coeff, bbox, ok, height, width, k_faces):
            & (xmin[None, :] <= t_x0[:, None] + TILE - 0.5))
     overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(ty * tx, f)
     ov_chunks = overlap.reshape(ty * tx, f // CHUNK, CHUNK).any(-1)
-    _, top_c = jax.lax.top_k(ov_chunks.astype(jnp.float32),
-                             k_faces // CHUNK)                # (T, K/8)
+    # slot assignment WITHOUT lax.top_k (sort-based top_k was ~half the
+    # whole render phase on TPU): chunk c gets slot pos = #overlapping
+    # chunks before it; slot k's chunk recovered by an argmax over the
+    # exact one-hot (pos == k). Selects the same first-K overlapping
+    # chunks in the same order as the old top_k, as pure VPU reduce work.
+    k8 = k_faces // CHUNK
+    pos = jnp.cumsum(ov_chunks, axis=1) - 1                    # (T, C)
+    assigned = ov_chunks & (pos < k8)
+    onehot = assigned[..., None] & (pos[..., None]
+                                    == jnp.arange(k8))         # (T, C, K8)
+    top_c = jnp.argmax(onehot, axis=1).astype(jnp.int32)       # (T, K8)
+    slot_filled = jnp.any(onehot, axis=1)                      # (T, K8)
     top_idx = (top_c[..., None] * CHUNK
                + jnp.arange(CHUNK)).reshape(ty * tx, k_faces)
-    sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
+    # per-slot validity only — no per-face overlap re-check (a selected
+    # face that doesn't overlap this tile fails its edge tests for every
+    # tile pixel anyway, and per-element take_along_axis gathers are slow
+    # on TPU); face-level 'ok' is already folded into coeff channel 14
+    sel_valid = jnp.repeat(slot_filled, CHUNK, axis=1)         # (T, K)
 
     sel = coeff.reshape(f // CHUNK, CHUNK * 16)[top_c]
     sel = sel.reshape(ty * tx, k_faces, 16)

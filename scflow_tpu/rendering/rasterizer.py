@@ -208,33 +208,51 @@ def rasterize_binned(verts_xy: jax.Array, verts_z: jax.Array,
     d_attr = tri_attrs.shape[-1] if tri_attrs is not None else 0
     # pack all per-face data into one chunk-granular table so per-tile
     # selection is ONE gather with large rows (chunk·row_d floats) — many
-    # small scattered gathers lower to a slow scalar path on TPU.
-    pack_cols = [tri_xy.reshape(fcount, 6), tri_z]
+    # small scattered gathers lower to a slow scalar path on TPU. The
+    # per-face ok flag rides along as column 9 so slot-level selection
+    # needs no per-face validity gather.
+    pack_cols = [tri_xy.reshape(fcount, 6), tri_z,
+                 ok.astype(tri_z.dtype)[:, None]]
     if tri_attrs is not None:
         pack_cols.append(tri_attrs.reshape(fcount, 3 * d_attr))
-    face_pack = jnp.concatenate(pack_cols, axis=-1)            # (F, 9+3D)
+    face_pack = jnp.concatenate(pack_cols, axis=-1)            # (F, 10+3D)
     row_d = face_pack.shape[-1]
     if fcount % chunk == 0 and k_faces % chunk == 0:
         ov_chunks = overlap.reshape(ty * tx, fcount // chunk, chunk).any(-1)
-        _, top_c = jax.lax.top_k(ov_chunks.astype(jnp.float32),
-                                 k_faces // chunk)             # (T, K/8)
+        # sort-free slot assignment (see ops/rasterize_fast._select_tiles):
+        # cumsum positions + exact one-hot argmax select the same first-K
+        # overlapping chunks as lax.top_k at a fraction of its TPU cost
+        k8 = k_faces // chunk
+        pos = jnp.cumsum(ov_chunks, axis=1) - 1
+        assigned = ov_chunks & (pos < k8)
+        onehot = assigned[..., None] & (pos[..., None] == jnp.arange(k8))
+        top_c = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+        slot_filled = jnp.any(onehot, axis=1)
         top_idx = (top_c[..., None] * chunk
                    + jnp.arange(chunk)).reshape(ty * tx, k_faces)
         sel_pack = face_pack.reshape(fcount // chunk, chunk * row_d)[
             top_c].reshape(ty * tx, k_faces, row_d)
+        # per-slot validity only: a selected face that doesn't overlap this
+        # tile fails its edge tests anyway, and per-element gathers are
+        # slow on TPU. Globally-invalid faces were excluded from `overlap`,
+        # so a filled slot may only contain ok or non-overlapping faces —
+        # except the degenerate/behind-camera ones filtered below via area
+        # and z guards in the tile pass.
+        sel_valid = jnp.repeat(slot_filled, chunk, axis=1)
     else:
         _, top_idx = jax.lax.top_k(overlap.astype(jnp.float32), k_faces)
         sel_pack = face_pack[top_idx]                          # (T, K, row_d)
-    sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)  # (T, K)
+        sel_valid = jnp.take_along_axis(overlap, top_idx, axis=1)
 
     sel_xy = sel_pack[..., :6].reshape(ty * tx, k_faces, 3, 2)
     sel_z = sel_pack[..., 6:9]
+    sel_valid = sel_valid & (sel_pack[..., 9] > 0.5)           # per-face ok
     sel_area = ((sel_xy[..., 1, 0] - sel_xy[..., 0, 0])
                 * (sel_xy[..., 2, 1] - sel_xy[..., 0, 1])
                 - (sel_xy[..., 1, 1] - sel_xy[..., 0, 1])
                 * (sel_xy[..., 2, 0] - sel_xy[..., 0, 0]))
     if tri_attrs is not None:
-        sel_attr = sel_pack[..., 9:].reshape(ty * tx, k_faces, 3, d_attr)
+        sel_attr = sel_pack[..., 10:].reshape(ty * tx, k_faces, 3, d_attr)
     else:
         sel_attr = jnp.zeros((ty * tx, k_faces, 3, 0), verts_xy.dtype)
 
