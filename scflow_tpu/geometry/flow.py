@@ -73,28 +73,58 @@ def flow_from_pose_and_depth(rotation_src: jax.Array, translation_src: jax.Array
                                      pts_obj, depth_src > 0, invalid_num)
 
 
+def _grid_sample_zeros(image: jax.Array, x: jax.Array, y: jax.Array
+                       ) -> jax.Array:
+    """Bilinear sample of (..., H, W) at pixel coords (x, y) with zeros
+    padding (torch grid_sample padding_mode='zeros' semantics)."""
+    h, w = image.shape[-2], image.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = image.reshape(image.shape[:-2] + (h * w,)).astype(x.dtype)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        shp = idx.shape
+        v = jnp.take_along_axis(flat, idx.reshape(idx.shape[:-2] + (-1,)),
+                                axis=-1).reshape(shp)
+        return jnp.where(inb, v, 0.0)
+
+    return (tap(x0i, y0i) * (1 - wx) * (1 - wy)
+            + tap(x0i + 1, y0i) * wx * (1 - wy)
+            + tap(x0i, y0i + 1) * (1 - wx) * wy
+            + tap(x0i + 1, y0i + 1) * wx * wy)
+
+
 def filter_flow_by_mask(flow: jax.Array, target_mask: jax.Array,
-                        invalid_num: float = DEFAULT_INVALID_FLOW) -> jax.Array:
+                        invalid_num: float = DEFAULT_INVALID_FLOW,
+                        threshold: float = 0.9) -> jax.Array:
     """Invalidate flow vectors landing outside the target-image mask.
 
     flow: (..., H, W, 2); target_mask: (..., H, W) bool/float of the *target*
-    image foreground. A flow vector from source pixel p landing at p+flow is
-    valid only if p+flow (rounded) is inside the mask.
+    image foreground. A flow vector from source pixel p is valid only if the
+    mask, bilinearly sampled at p+flow, is ≥ ``threshold``; out-of-frame
+    targets sample zero (invalid).
 
-    Reference semantics: models/utils/flow.py:6-26. The reference samples the
-    mask with nearest lookup at clipped integer coords; out-of-frame targets
-    are clamped to the border pixel (same as here via clipping).
+    Faithful to reference models/utils/flow.py:6-26: torch grid_sample with
+    mode='bilinear', padding_mode='zeros', align_corners=False on the
+    [-1, 1]-normalized p+flow grid — align_corners=False maps normalized
+    coordinate u to pixel ((u + 1) * W - 1) / 2, i.e. sample at
+    (p + flow) * W / (W-1) - 0.5 (mmflow's well-known half-pixel quirk,
+    reproduced here so GT supervision matches the reference's training
+    distribution exactly).
     """
     h, w = target_mask.shape[-2], target_mask.shape[-1]
     grid = pixel_grid(h, w, flow.dtype)
     target = grid + flow
-    tx = jnp.clip(jnp.round(target[..., 0]).astype(jnp.int32), 0, w - 1)
-    ty = jnp.clip(jnp.round(target[..., 1]).astype(jnp.int32), 0, h - 1)
-    flat = target_mask.reshape(target_mask.shape[:-2] + (h * w,))
-    idx = ty * w + tx
-    landed = jnp.take_along_axis(flat, idx.reshape(idx.shape[:-2] + (h * w,)),
-                                 axis=-1).reshape(idx.shape)
-    ok = landed > 0.5 if landed.dtype != jnp.bool_ else landed
+    sx = target[..., 0] * (w / max(w - 1, 1)) - 0.5
+    sy = target[..., 1] * (h / max(h - 1, 1)) - 0.5
+    sampled = _grid_sample_zeros(target_mask.astype(flow.dtype), sx, sy)
+    ok = sampled >= threshold
     return jnp.where(ok[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
 
 

@@ -193,8 +193,19 @@ class TestFlow:
         filt = filter_flow_by_mask(flow, mask)
         assert np.all(np.asarray(filt) == 400.0)
         full = filter_flow_by_mask(flow, depth > 0)
+        # bilinear sampling at the ≥0.9 threshold erodes the mask boundary
+        # (reference grid_sample semantics): assert on interior pixels whose
+        # whole 8-neighborhood is foreground
         v = np.asarray(depth[0]) > 0
-        np.testing.assert_allclose(np.asarray(full[0])[v], 0.0, atol=1e-3)
+        interior = v.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                interior &= np.roll(np.roll(v, dy, 0), dx, 1)
+        interior[0, :] = interior[-1, :] = False
+        interior[:, 0] = interior[:, -1] = False
+        assert interior.sum() > 10
+        np.testing.assert_allclose(np.asarray(full[0])[interior], 0.0,
+                                   atol=1e-3)
 
 
 class TestAddErrors:

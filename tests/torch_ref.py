@@ -190,6 +190,22 @@ def _install_shims():
     sys.modules["kornia.geometry"] = kornia_geometry
     sys.modules["kornia.geometry.conversions"] = kornia_conversions
 
+    # pytorch3d.ops.knn_points: exact K-nearest-neighbor (the reference uses
+    # K=1 for symmetric-class point matching, point_matching_loss.py:94).
+    # Dense torch implementation — mathematically identical output.
+    pytorch3d = types.ModuleType("pytorch3d")
+    pytorch3d_ops = types.ModuleType("pytorch3d.ops")
+
+    def _knn_points(p1, p2, K=1):
+        d2 = torch.cdist(p1, p2) ** 2          # (B, N1, N2)
+        dists, idx = torch.topk(d2, K, dim=-1, largest=False)
+        return types.SimpleNamespace(dists=dists, idx=idx)
+
+    pytorch3d_ops.knn_points = _knn_points
+    pytorch3d.ops = pytorch3d_ops
+    sys.modules["pytorch3d"] = pytorch3d
+    sys.modules["pytorch3d.ops"] = pytorch3d_ops
+
     if "trimesh" not in sys.modules:
         try:
             import trimesh  # noqa: F401
@@ -261,6 +277,16 @@ def load_reference():
                "solve_pose_by_pnp"):
         setattr(models_utils, fn, getattr(pose, fn))
 
+    warp = _load("models.utils.warp", f"{_REF}/models/utils/warp.py")
+    flow = _load("models.utils.flow", f"{_REF}/models/utils/flow.py")
+    models_utils.Warp = warp.Warp
+
+    _package("models.loss")
+    sequence_loss = _load("models.loss.sequence_loss",
+                          f"{_REF}/models/loss/sequence_loss.py")
+    point_matching_loss = _load("models.loss.point_matching_loss",
+                                f"{_REF}/models/loss/point_matching_loss.py")
+
     _package("models.backbone")
     resnet = _load("models.backbone.resnet",
                    f"{_REF}/models/backbone/resnet.py")
@@ -283,7 +309,9 @@ def load_reference():
         raft_decoder_mask=raft_decoder_mask,
         scflow_decoder=scflow_decoder, pose_head=pose_head,
         raft_encoder=raft_encoder, resnet=resnet,
-        datasets_pose=datasets_pose)
+        datasets_pose=datasets_pose, flow=flow, warp=warp,
+        sequence_loss=sequence_loss,
+        point_matching_loss=point_matching_loss)
     return _loaded
 
 
