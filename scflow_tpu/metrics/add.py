@@ -157,6 +157,31 @@ class ADDMetric:
         """ADD-S for symmetric classes, ADD otherwise (metrics/add.py:386-394)."""
         return rec["adds"] if rec["label"] in self.symmetric_classes else rec["add"]
 
+    def records_arrays(self) -> dict:
+        """Pack accumulated records into dense arrays (for cross-process
+        gather via ``allgather_results`` — the reference's collect_results
+        pickle-funnel replacement, tools/eval.py:143-216). Unmatched
+        records carry ``inf`` errors, so no flags are lost."""
+        n = len(self._records)
+        return {
+            "labels": np.asarray([r["label"] for r in self._records],
+                                 np.int64).reshape(n),
+            "add": np.asarray([r["add"] for r in self._records],
+                              np.float64).reshape(n),
+            "adds": np.asarray([r["adds"] for r in self._records],
+                               np.float64).reshape(n),
+            "rep": np.asarray([r["rep"] for r in self._records],
+                              np.float64).reshape(n),
+        }
+
+    def load_arrays(self, arrays: dict):
+        """Replace the record list with (gathered) dense arrays."""
+        self._records = [
+            {"label": int(lb), "matched": bool(np.isfinite(a)),
+             "add": float(a), "adds": float(s), "rep": float(rp)}
+            for lb, a, s, rp in zip(arrays["labels"], arrays["add"],
+                                    arrays["adds"], arrays["rep"])]
+
     def compute(self) -> dict:
         """Per-class + average accuracy table, AUC, REP accuracies."""
         if not self._records:

@@ -102,10 +102,22 @@ class MetricAccumulator:
         for i, thr in enumerate(self.thresholds):
             out[f"average/add_{thr:.2f}d"] = float(accs[present, i].mean()
                                                    if present.any() else 0.0)
-        # histogram AUC: cumulative accuracy over bins (bin centers)
+        # histogram AUC (midpoint rule): an error binned in bin i is treated
+        # as lying at the bin center, so accuracy over bin i averages the
+        # cumulative counts at its two edges. This brackets the exact
+        # step-function AUC (metrics/add.py:add_auc) within ±0.5/auc_bins
+        # (±0.5 pt at 100 bins); use the exact evaluator for headline
+        # numbers — this accumulator trades that for device-side psum merges.
         cum = np.cumsum(hist, axis=1) / safe[:, None]
-        aucs = cum.mean(axis=1)
+        cum_lo = np.concatenate([np.zeros((cum.shape[0], 1)), cum[:, :-1]],
+                                axis=1)
+        aucs = (0.5 * (cum + cum_lo)).mean(axis=1)
         out["average/auc"] = float(aucs[present].mean() if present.any() else 0.0)
+        # bracket: assume all errors at bin right/left edges
+        out["average/auc_lo"] = float(cum_lo.mean(axis=1)[present].mean()
+                                      if present.any() else 0.0)
+        out["average/auc_hi"] = float(cum.mean(axis=1)[present].mean()
+                                      if present.any() else 0.0)
         out["num_instances"] = int(count.sum())
         for c in range(self.num_classes):
             if present[c]:

@@ -303,6 +303,57 @@ def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
     return jax.jit(train_step)
 
 
+def make_panel_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
+    """Jitted observability step: run the refiner on a train batch and
+    return sample-0 panel arrays (real | render | gt/pose/pred flow | mask)
+    plus the per-iteration EPE vector — the device side of the reference's
+    TensorboardImgLoggerHook + eval_seq_epe
+    (models/utils/tensorboard_hook.py:87-120, base_refiner.py:464-480).
+    """
+    assert not isinstance(model, RAFTRefiner), \
+        "panels use in-loop poses (SCFlow family)"
+    max_flow = cfg.model.max_flow
+    mean = jnp.asarray(cfg.data.normalize_mean, jnp.float32) / 255.0
+    std = jnp.asarray(cfg.data.normalize_std, jnp.float32) / 255.0
+
+    def panel_step(params, batch_stats, batch):
+        rendered, depth, rmask = render_at_pose(
+            renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"],
+            cfg.data.normalize_mean, cfg.data.normalize_std)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outputs = model.apply(variables, rendered, batch["real_images"],
+                              batch["ref_rotations"],
+                              batch["ref_translations"], depth, batch["k"],
+                              batch["labels"], train=False)
+        gt_flow = flow_from_pose_and_depth(
+            batch["ref_rotations"], batch["ref_translations"],
+            batch["gt_rotations"], batch["gt_translations"], depth,
+            batch["k"], invalid_num=max_flow)
+        if cfg.model.filter_invalid_flow and "gt_masks" in batch:
+            gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"],
+                                          invalid_num=max_flow)
+        valid = (jnp.linalg.norm(gt_flow, axis=-1) < max_flow) & (rmask > 0.5)
+        w = valid.astype(jnp.float32)
+        err = jnp.linalg.norm(outputs.flow_from_pred - gt_flow[None],
+                              axis=-1)  # (T, N, H, W)
+        epe = (jnp.sum(err * w[None], axis=(1, 2, 3))
+               / jnp.maximum(jnp.sum(w), 1.0))
+        return {
+            "real": batch["real_images"][0] * std + mean,
+            "render": rendered[0] * std + mean,
+            "gt_flow": gt_flow[0],
+            "pose_flow": outputs.flow_from_pose[-1, 0],
+            "pred_flow": outputs.flow_from_pred[-1, 0],
+            "mask": outputs.masks[-1, 0, ..., 0],
+            "epe_per_iter": epe,
+        }
+
+    return jax.jit(panel_step)
+
+
 def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     """Inference step: render at ref pose, refine, return last-iter pose.
 

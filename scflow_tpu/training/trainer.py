@@ -65,6 +65,32 @@ class Trainer:
                                       sample_batch)
         return self.state
 
+    def init_eval_state(self, batch_size: int = 16, rng=None):
+        """Initialize state for evaluation without any dataset sample (and
+        without fabricated GT): shapes come from the config, inputs from a
+        render at a canonical in-frame pose."""
+        import jax.numpy as jnp
+
+        from ..data.synthetic import default_intrinsics
+        from .steps import render_at_pose
+
+        h, w = self.renderer.image_size
+        n = batch_size
+        batch = {
+            "ref_rotations": jnp.tile(jnp.eye(3), (n, 1, 1)),
+            "ref_translations": jnp.tile(jnp.asarray([0.0, 0.0, 600.0]),
+                                         (n, 1)),
+            "k": jnp.tile(default_intrinsics((h, w)), (n, 1, 1)),
+            "labels": jnp.zeros((n,), jnp.int32),
+        }
+        rendered, depth, mask = render_at_pose(
+            self.renderer, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], self.cfg.data.normalize_mean,
+            self.cfg.data.normalize_std)
+        sample = dict(batch, real_images=rendered, rendered_images=rendered,
+                      rendered_depths=depth, rendered_masks=mask)
+        return self.init_state(sample, rng)
+
     def resume(self, ckpt_dir: str | None = None, step: int | None = None):
         assert self.state is not None, "call init_state first (for the pytree shape)"
         ckpt_dir = ckpt_dir or os.path.join(self.cfg.work_dir, "checkpoints")
@@ -87,11 +113,17 @@ class Trainer:
     def fit(self, batch_iterator: Iterator | Callable[[int], dict],
             num_steps: int | None = None,
             eval_every: int | None = None,
-            eval_fn: Callable | None = None):
+            eval_fn: Callable | None = None,
+            panel_every: int | None = None):
         """Run the training loop.
 
         batch_iterator: an iterator of batch dicts, or a callable
         ``step -> batch``.
+        eval_every/eval_fn: run ``eval_fn(self) -> dict`` every N steps and
+        log the returned scalars under ``eval/``.
+        panel_every: dump [real|render|gt/pose/pred flow|mask] image panels
+        and per-iteration EPE to work_dir every N steps (the reference's
+        TensorboardImgLoggerHook interval, configs/..._pbr.py:328).
         """
         num_steps = num_steps or self.cfg.optim.total_steps
         assert self.state is not None
@@ -99,8 +131,21 @@ class Trainer:
                      else lambda _s, _it=iter(batch_iterator): next(_it))
         ckpt_dir = os.path.join(self.cfg.work_dir, "checkpoints")
 
+        panel_step = image_logger = None
+        if panel_every:
+            from ..models.refiner import RAFTRefiner
+            from .logging import ImageLogger
+            from .steps import make_panel_step
+
+            if not isinstance(self.model, RAFTRefiner):
+                panel_step = make_panel_step(self.model, self.renderer,
+                                             self.cfg)
+                image_logger = ImageLogger(self.cfg.work_dir,
+                                           interval=panel_every)
+
         t_last = time.perf_counter()
         start = int(self.state.step)
+        last_logged = start
         for step in range(start, num_steps):
             batch = get_batch(step)
             if self.mesh is not None:
@@ -112,10 +157,27 @@ class Trainer:
                 scalars = {k: float(v) for k, v in metrics.items()
                            if np.ndim(v) == 0}
                 scalars.update(step=step + 1,
-                               steps_per_s=self.cfg.log_interval / (now - t_last),
+                               steps_per_s=(step + 1 - last_logged)
+                               / max(now - t_last, 1e-9),
                                lr=float(self.schedule(step)))
                 self._log(scalars)
                 t_last = now
+                last_logged = step + 1
+
+            if panel_step is not None and (step + 1) % panel_every == 0 \
+                    and "gt_rotations" in batch:
+                from .logging import make_train_panel
+
+                p = {k: np.asarray(v) for k, v in panel_step(
+                    self.state.params, self.state.batch_stats, batch).items()}
+                panel = make_train_panel(p["real"], p["render"], p["gt_flow"],
+                                         p["pose_flow"], p["pred_flow"],
+                                         mask=p["mask"],
+                                         max_flow=self.cfg.model.max_flow)
+                image_logger.log_panel(step + 1, "train_panel", panel)
+                self._log({"step": step + 1,
+                           **{f"epe_iter{i}": float(v)
+                              for i, v in enumerate(p["epe_per_iter"])}})
 
             if (step + 1) % self.cfg.checkpoint_interval == 0:
                 save_checkpoint(ckpt_dir, self.state, step + 1)

@@ -1,8 +1,10 @@
 """Evaluation CLI — the reference ``test.py`` equivalent.
 
-Runs refinement over a RefineDataset (BOP layout + initial-pose annots),
-computes ADD(-S)/AUC/REP via the ADDMetric, and optionally writes
-BOP-format results (``--format-only``).
+Runs refinement over a RefineDataset (BOP layout + initial-pose annots)
+with packed fixed-shape batches sharded over the device mesh (the
+reference's ``multi_gpu_test`` analogue, tools/eval.py:84-216), computes
+ADD(-S)/AUC/REP via the exact ADDMetric, and optionally writes BOP-format
+results (``--format-only``).
 """
 import argparse
 
@@ -24,8 +26,12 @@ def parse_args():
                    help="multi-pass refinement (re-render between passes)")
     p.add_argument("--num-classes", type=int, default=21)
     p.add_argument("--image-size", type=int, default=256)
-    p.add_argument("--max-objects", type=int, default=16,
-                   help="object-slot budget per image batch")
+    p.add_argument("--slot-budget", type=int, default=16,
+                   help="object slots per packed device batch (several "
+                        "images share one batch; must divide the mesh)")
+    p.add_argument("--exact-eval", action="store_true",
+                   help="disable the low-res pose-flow eval fast path "
+                        "(ModelConfig.lowres_eval) for exactness checks")
     p.add_argument("--eval", action="store_true", default=True)
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--save-dir", default=None)
@@ -48,13 +54,17 @@ def main():
         if getattr(args, field) is None:
             raise SystemExit(f"--{field.replace('_', '-')} is required "
                              "(or pass --config <recipe>)")
+    from scflow_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+
     from scflow_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     import numpy as np
 
     from scflow_tpu.data.bop import RefineDataset
-    from scflow_tpu.data.loader import TestBatchBuilder, pad_to_batch
+    from scflow_tpu.data.loader import TestBatchBuilder
     from scflow_tpu.metrics import (ADDMetric, format_metric_table,
                                     write_bop_results)
     from scflow_tpu.rendering import Renderer, load_mesh_dir
@@ -62,11 +72,13 @@ def main():
                                      YCBV_CLASS_NAMES, YCBV_MESH_DIAMETERS,
                                      YCBV_SYMMETRIC_CLASSES,
                                      build_points_bank)
+    from scflow_tpu.training.evaluate import evaluate_dataset
     from scflow_tpu.training.trainer import Trainer
 
     cfg = Config(model=ModelConfig(num_class=args.num_classes,
                                    iters=args.iters, test_iters=args.iters,
-                                   test_passes=args.passes),
+                                   test_passes=args.passes,
+                                   lowres_eval=not args.exact_eval),
                  data=DataConfig(image_scale=args.image_size),
                  work_dir=args.work_dir)
     bank = load_mesh_dir(args.mesh_dir, ext=args.mesh_ext)
@@ -76,69 +88,29 @@ def main():
     points = build_points_bank(bank, symmetric_classes=symmetric,
                                diameters=diameters, num_points=1000)
     trainer = Trainer(cfg, renderer, points)
+    trainer.init_eval_state(batch_size=args.slot_budget)
+    if args.checkpoint:
+        trainer.resume(args.checkpoint)
 
     dataset = RefineDataset(args.data_root, args.ref_annots_root,
                             args.image_list, class_names=YCBV_CLASS_NAMES)
     mesh_points = [np.asarray(points.points[c]) for c in range(bank.num_classes)]
     builder = TestBatchBuilder(dataset, cfg, mesh_points)
 
-    # init + optional checkpoint
-    first = None
-    for i in range(len(builder)):
-        first = builder[i]
-        if first is not None:
-            break
-    assert first is not None, "empty dataset"
-    from scflow_tpu.training import render_at_pose
-
-    init_batch = pad_to_batch(first, args.max_objects)
-    rendered, depth, mask = render_at_pose(
-        renderer, init_batch["ref_rotations"], init_batch["ref_translations"],
-        init_batch["k"], init_batch["labels"], cfg.data.normalize_mean,
-        cfg.data.normalize_std)
-    trainer.init_state(dict(init_batch, rendered_images=rendered,
-                            rendered_depths=depth, rendered_masks=mask,
-                            gt_rotations=init_batch["ref_rotations"],
-                            gt_translations=init_batch["ref_translations"],
-                            gt_masks=mask))
-    if args.checkpoint:
-        trainer.resume(args.checkpoint)
-
     metric = ADDMetric(points_per_class=mesh_points,
                        diameters=np.asarray(points.diameters),
                        symmetric_classes=tuple(symmetric),
                        class_names=YCBV_CLASS_NAMES)
-    results = []
-    total = len(builder) if args.limit is None else min(args.limit, len(builder))
-    for i in range(total):
-        item = builder[i]
-        if item is None:
-            continue
-        n = len(item["labels"])
-        batch = pad_to_batch(item, args.max_objects)
-        out = trainer.predict({k: batch[k] for k in
-                               ("real_images", "ref_rotations",
-                                "ref_translations", "k", "labels")})
-        pred = {"labels": item["labels"][:n],
-                "rotations": out["rotations"][:n],
-                "translations": out["translations"][:n],
-                "scores": np.ones(n, np.float32)}
-        results.append({"scene_id": item["scene_id"], "img_id": item["img_id"],
-                        **pred})
-        if "gt_rotations" in item and not args.format_only:
-            gt = {"labels": item["gt_labels"],
-                  "rotations": item["gt_rotations"],
-                  "translations": item["gt_translations"]}
-            metric.process(pred, gt, k=item["ori_k"])
-        if (i + 1) % 50 == 0:
-            print(f"[{i + 1}/{total}]", flush=True)
+    metrics, results = evaluate_dataset(
+        trainer, builder, metric, slot_budget=args.slot_budget,
+        limit=args.limit,
+        collect_results=bool(args.save_dir or args.format_only))
 
     if args.save_dir or args.format_only:
         save_dir = args.save_dir or f"{args.work_dir}/bop_results"
         paths = write_bop_results(results, save_dir)
         print(f"wrote {len(paths)} BOP scene files to {save_dir}")
-    if not args.format_only:
-        metrics = metric.compute()
+    if not args.format_only and metrics:
         print(format_metric_table(metrics))
         for k in sorted(metrics):
             if k.startswith(("average/", "instance/")) or k == "num_instances":
