@@ -239,6 +239,48 @@ void CropResizePadNormalize(const uint8_t* img, int h, int w, int channels,
 
 extern "C" {
 
+// Header-only probe of image dimensions (no pixel decode) — lets callers
+// allocate the exact output buffer and decode ONCE (the original
+// probe-then-decode pattern decoded every image twice).
+int scflow_image_dims(const char* path, int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (EndsWith(path, ".png")) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    if (setjmp(png_jmpbuf(png))) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      fclose(f);
+      return -2;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+    *w = png_get_image_width(png, info);
+    *h = png_get_image_height(png, info);
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 0;
+  }
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = JpegErrExit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 // Decode an image file (jpg/png by extension) to RGB uint8.
 // out_buf must hold max_bytes; returns needed byte count, or <0 on error.
 // If the image doesn't fit, nothing is written (call again with a larger buf).

@@ -100,6 +100,24 @@ def scflow_ycbv_pbr() -> RecipeSpec:
     )
 
 
+def scflow_ycbv_pbr_scene() -> RecipeSpec:
+    """Multi-object scene training (BASELINE.md config 4): every visible
+    object of each sampled image shares one batch; padded slots are masked
+    by ``sample_valid`` in the loss and the context encoder's BN statistics.
+    No reference counterpart — the reference handles this with ragged
+    per-image object lists (models/refiner/base_refiner.py:95,160-167)."""
+    cfg = Config(
+        data=DataConfig(scene_mode=True, scene_images=4, slots_per_image=4,
+                        min_visib_fract=0.2),
+        work_dir="work_dirs/scflow_ycbv_pbr_scene",
+    )
+    return RecipeSpec(
+        config=cfg,
+        train_data=_ycbv_spec("train_pbr", min_visib_fract=0.2),
+        test_data=_ycbv_test_spec(),
+    )
+
+
 def scflow_ycbv_real() -> RecipeSpec:
     """SCFlow trained on real YCB-V images, no visibility filter
     (configs/refine_models/scflow_ycbv_real.py)."""
@@ -111,9 +129,13 @@ def scflow_ycbv_real() -> RecipeSpec:
 
 
 def scflow_ycbv_mixpbr() -> RecipeSpec:
-    """Real + PBR mixed training (configs/refine_datasets/ycbv_mixpbr.py)."""
+    """Real + PBR mixed training (configs/refine_datasets/ycbv_mixpbr.py —
+    incl. RandomBackground(background_dir='data/coco', p=0.3), :49)."""
     return RecipeSpec(
-        config=Config(work_dir="work_dirs/scflow_ycbv_mixpbr"),
+        config=Config(work_dir="work_dirs/scflow_ycbv_mixpbr",
+                      data=DataConfig(background_dir="data/coco",
+                                      background_p=0.3,
+                                      min_visib_fract=0.2)),
         train_data=_ycbv_spec("train_real", min_visib_fract=0.2,
                               extra_roots=("data/ycbv/train_pbr",)),
         test_data=_ycbv_test_spec(),
@@ -121,14 +143,18 @@ def scflow_ycbv_mixpbr() -> RecipeSpec:
 
 
 def scflow_ycbv_mix20real() -> RecipeSpec:
-    """PBR + every-20th real image (configs/refine_datasets/ycbv_mix20real.py)."""
+    """PBR + every-20th real image (configs/refine_datasets/ycbv_mix20real.py
+    — incl. RandomBackground(background_dir='data/coco', p=0.3), :49)."""
     spec = _ycbv_spec("train_pbr", min_visib_fract=0.2,
                       extra_roots=("data/ycbv/train_real",))
     spec = dataclasses.replace(
         spec, image_lists=(spec.image_lists[0],
                            "data/ycbv/image_lists/train_real_every20.txt"))
     return RecipeSpec(
-        config=Config(work_dir="work_dirs/scflow_ycbv_mix20real"),
+        config=Config(work_dir="work_dirs/scflow_ycbv_mix20real",
+                      data=DataConfig(background_dir="data/coco",
+                                      background_p=0.3,
+                                      min_visib_fract=0.2)),
         train_data=spec,
         test_data=_ycbv_test_spec(),
     )

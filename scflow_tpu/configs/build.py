@@ -11,14 +11,16 @@ from scflow_tpu.data.bop import (ConcatDataset, RefineDataset,
 from scflow_tpu.data.tracking import TrackDataset
 
 
-def build_dataset(spec: DatasetSpec, *, seed: int = 0):
+def build_dataset(spec: DatasetSpec, *, seed: int = 0, sample_num: int = 1):
     """Instantiate the dataset(s) a spec describes (concat if several
-    roots)."""
+    roots). ``sample_num=-1`` keeps every visible object per image (scene
+    batching)."""
     parts = []
     for root, image_list in zip(spec.data_roots, spec.image_lists):
         if spec.kind == "supervise":
             parts.append(SuperviseTrainDataset(
                 root, image_list, class_names=spec.class_names,
+                sample_num=sample_num,
                 min_visib_fract=spec.min_visib_fract, seed=seed))
         elif spec.kind == "refine":
             parts.append(RefineDataset(

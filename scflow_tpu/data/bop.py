@@ -25,6 +25,16 @@ def _load_json(path):
 
 
 def _imread(path, gray=False):
+    # C++ decode fast path (bit-exact with cv2's libjpeg/libpng — proven in
+    # tests/test_native.py); falls back below when the lib is unavailable
+    from . import native
+
+    if native.is_enabled():
+        try:
+            if native.get_lib() is not None:
+                return native.decode_image(path, channels=1 if gray else 3)
+        except Exception:
+            pass
     try:
         import cv2
 

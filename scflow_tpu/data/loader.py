@@ -39,6 +39,30 @@ class TrainBatchBuilder:
         self.mesh_points = mesh_points_per_class
         self.diameters = mesh_diameters
         self.rng = np.random.default_rng(seed)
+        from . import native
+
+        native.set_enabled(cfg.data.use_native)  # C++ image decode path
+        # background-image list for RandomBackground (reference
+        # color_transform.py:176-244; loaded lazily, one decode per use —
+        # same as the reference's per-call file_client read)
+        self._bg_paths: list[str] = []
+        if cfg.data.background_dir:
+            import glob
+            import os.path as osp
+
+            for ext in ("*.jpg", "*.png"):
+                self._bg_paths += glob.glob(
+                    osp.join(cfg.data.background_dir, ext))
+            self._bg_paths.sort()
+
+    def _load_background(self) -> np.ndarray | None:
+        from .bop import _imread
+
+        path = self._bg_paths[int(self.rng.integers(len(self._bg_paths)))]
+        try:
+            return _imread(path)
+        except Exception:
+            return None
 
     def _one_sample(self) -> dict | None:
         idx = int(self.rng.integers(len(self.dataset)))
@@ -70,13 +94,26 @@ class TrainBatchBuilder:
             size_ratio=size_ratio, mask=item["gt_masks"][i])
 
         patch = crop.patch
-        if self.cfg.data.color_aug:
+        mask_patch = crop.mask_patch
+        d = self.cfg.data
+        if self._bg_paths and self.rng.uniform() < d.background_p:
+            from .color_aug import random_background
+
+            bg = self._load_background()
+            if bg is not None:
+                patch = random_background(self.rng, patch, mask_patch,
+                                          [bg], p=1.1)
+        if d.occlusion_p > 0:
+            from .color_aug import random_occlusion
+
+            patch, mask_patch = random_occlusion(self.rng, patch, mask_patch,
+                                                 p=d.occlusion_p)
+        if d.color_aug:
             patch = default_train_augs(self.rng, patch)
-        img = normalize_image(patch, self.cfg.data.normalize_mean,
-                              self.cfg.data.normalize_std)
+        img = normalize_image(patch, d.normalize_mean, d.normalize_std)
         return {
             "real_images": img.astype(np.float32),
-            "gt_masks": crop.mask_patch.astype(np.float32),
+            "gt_masks": mask_patch.astype(np.float32),
             "gt_rotations": gt_r, "gt_translations": gt_t,
             "ref_rotations": ref_r, "ref_translations": ref_t,
             "k": crop.k_new.astype(np.float32),
@@ -164,22 +201,58 @@ class SceneTrainBatchBuilder(TrainBatchBuilder):
 class TestBatchBuilder:
     """Build per-image eval batches from a RefineDataset: all objects of an
     image cropped at their ref-pose bboxes (reference test pipeline:
-    crop 1.1× at bbox, resize, pad, adapt K)."""
+    crop 1.1× at bbox, resize, pad, adapt K).
+
+    With ``cfg.data.use_native`` (default) the per-object crops run through
+    the C++ thread-pooled fused crop+resize+pad+normalize
+    (native/scflow_native.cpp) — same box shaping (pipeline.expand_bbox),
+    identical transforms; falls back to cv2/numpy when the lib is absent.
+    """
 
     def __init__(self, dataset: RefineDataset, cfg: Config,
                  mesh_points_per_class: list[np.ndarray]):
         self.dataset = dataset
         self.cfg = cfg
         self.mesh_points = mesh_points_per_class
+        from . import native
+
+        native.set_enabled(cfg.data.use_native)
+        if cfg.data.native_crop == "auto":
+            try:
+                import cv2  # noqa: F401 — SIMD resize beats the C++ crop
+
+                use_crop = False
+            except ImportError:
+                use_crop = True
+        else:
+            use_crop = cfg.data.native_crop == "on"
+        self._native = (use_crop and cfg.data.use_native
+                        and native.get_lib() is not None)
 
     def __len__(self):
         return len(self.dataset)
 
-    def __getitem__(self, index: int) -> dict | None:
-        item = self.dataset[index]
-        if item is None:
-            return None
-        n = len(item["labels"])
+    def _crops_native(self, item: dict, n: int):
+        from . import native
+        from .pipeline import expand_bbox
+
+        boxes = np.empty((n, 4), np.float32)
+        for i in range(n):
+            label = int(item["labels"][i])
+            bbox = project_bbox(self.mesh_points[label], item["k"][i],
+                                item["ref_rotations"][i],
+                                item["ref_translations"][i])
+            boxes[i] = expand_bbox(bbox,
+                                   size_ratio=self.cfg.data.test_crop_size)
+        imgs, transforms = native.crop_resize_pad_batch(
+            [item["image"]] * n, boxes, self.cfg.data.image_scale,
+            mean=self.cfg.data.normalize_mean,
+            std=self.cfg.data.normalize_std)
+        ks = np.einsum("nij,njk->nik", transforms,
+                       item["k"].astype(np.float32))
+        return list(imgs), list(ks), list(transforms)
+
+    def _crops_python(self, item: dict, n: int):
         imgs, ks, transforms = [], [], []
         for i in range(n):
             label = int(item["labels"][i])
@@ -194,6 +267,17 @@ class TestBatchBuilder:
                                         self.cfg.data.normalize_std))
             ks.append(crop.k_new.astype(np.float32))
             transforms.append(crop.transform)
+        return imgs, ks, transforms
+
+    def __getitem__(self, index: int) -> dict | None:
+        item = self.dataset[index]
+        if item is None:
+            return None
+        n = len(item["labels"])
+        if self._native:
+            imgs, ks, transforms = self._crops_native(item, n)
+        else:
+            imgs, ks, transforms = self._crops_python(item, n)
         out = {
             "real_images": np.stack(imgs).astype(np.float32),
             "ref_rotations": item["ref_rotations"],

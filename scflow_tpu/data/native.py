@@ -22,6 +22,20 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libscflow_native.so"))
 _lib = None
 
+# default-on where the library builds (DataConfig.use_native / SCFLOW_NATIVE
+# override); every native call site falls back to the Python path when off
+_enabled = os.environ.get("SCFLOW_NATIVE", "1") != "0"
+
+
+def set_enabled(value: bool) -> None:
+    """Toggle the native data path (wired from DataConfig.use_native)."""
+    global _enabled
+    _enabled = bool(value)
+
+
+def is_enabled() -> bool:
+    return _enabled
+
 
 def _build() -> bool:
     try:
@@ -45,6 +59,10 @@ def get_lib():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
+    lib.scflow_image_dims.restype = ctypes.c_int
+    lib.scflow_image_dims.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
     lib.scflow_load_patch.restype = ctypes.c_int
     lib.scflow_load_patch.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -62,7 +80,10 @@ def _fptr(arr):
 
 
 def decode_image(path: str, channels: int = 3) -> np.ndarray:
-    """Decode a JPEG/PNG file to (H, W, C) uint8 (RGB or grayscale)."""
+    """Decode a JPEG/PNG file to (H, W, C) uint8 (RGB or grayscale).
+
+    A header-only dims probe sizes the buffer so pixels decode exactly once
+    (the old probe-by-decoding pattern ran libjpeg twice per image)."""
     lib = get_lib()
     if lib is None:
         from .bop import _imread
@@ -70,17 +91,18 @@ def decode_image(path: str, channels: int = 3) -> np.ndarray:
         return _imread(path, gray=channels == 1)
     h = ctypes.c_int()
     w = ctypes.c_int()
-    buf = np.empty(0, np.uint8)
-    need = lib.scflow_decode_image(
-        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        0, ctypes.byref(h), ctypes.byref(w), channels)
-    if need < 0:
-        raise IOError(f"decode failed ({need}) for {path}")
+    rc = lib.scflow_image_dims(path.encode(), ctypes.byref(h),
+                               ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"header probe failed ({rc}) for {path}")
+    need = h.value * w.value * channels
     buf = np.empty(need, np.uint8)
     got = lib.scflow_decode_image(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         need, ctypes.byref(h), ctypes.byref(w), channels)
-    assert got == need
+    if got < 0:
+        raise IOError(f"decode failed ({got}) for {path}")
+    assert got == need, (got, need, path)
     shape = (h.value, w.value) if channels == 1 else (h.value, w.value, 3)
     return buf.reshape(shape)
 

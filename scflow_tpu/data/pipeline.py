@@ -87,6 +87,22 @@ class CropResult:
     mask_patch: np.ndarray | None = None
 
 
+def expand_bbox(bbox: np.ndarray, size_ratio: float = 1.0,
+                aspect_ratio: float = 1.0) -> tuple[int, int, int, int]:
+    """Square-ify + expand an xyxy bbox into integer crop corners — the
+    box-shaping step of the reference Crop transform
+    (geometry_transform.py:154-276), shared by the Python and native C++
+    crop paths so their transforms agree exactly."""
+    x1, y1, x2, y2 = bbox
+    bw, bh = x2 - x1, y2 - y1
+    xc, yc = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    bw = max(bw, bh * aspect_ratio)
+    bh = max(bw / aspect_ratio, bh)
+    bw, bh = bw * size_ratio, bh * size_ratio
+    return (int(xc - bw / 2), int(yc - bh / 2),
+            int(xc + bw / 2), int(yc + bh / 2))
+
+
 def crop_resize_pad(image: np.ndarray, bbox: np.ndarray, k: np.ndarray,
                     out_size: int, size_ratio: float = 1.0,
                     aspect_ratio: float = 1.0, pad_val: int = 128,
@@ -100,14 +116,7 @@ def crop_resize_pad(image: np.ndarray, bbox: np.ndarray, k: np.ndarray,
     with ``pad_val``.
     """
     h, w = image.shape[:2]
-    x1, y1, x2, y2 = bbox
-    bw, bh = x2 - x1, y2 - y1
-    xc, yc = (x1 + x2) / 2.0, (y1 + y2) / 2.0
-    bw = max(bw, bh * aspect_ratio)
-    bh = max(bw / aspect_ratio, bh)
-    bw, bh = bw * size_ratio, bh * size_ratio
-    cx1, cy1 = int(xc - bw / 2), int(yc - bh / 2)
-    cx2, cy2 = int(xc + bw / 2), int(yc + bh / 2)
+    cx1, cy1, cx2, cy2 = expand_bbox(bbox, size_ratio, aspect_ratio)
 
     t_crop = np.array([[1, 0, -cx1], [0, 1, -cy1], [0, 0, 1]], np.float32)
 

@@ -104,6 +104,30 @@ class DataConfig:
     # shipped recipe applies HSV -> noise -> smooth,
     # configs/refine_models/scflow_ycbv_pbr.py:69-71)
     color_aug: bool = True
+    # multi-object scene batching (BASELINE.md config 4): sample every
+    # visible object of `scene_images` images into `slots_per_image` padded
+    # slots masked by sample_valid (reference ragged analogue:
+    # models/refiner/base_refiner.py:95,160-167). The effective batch is
+    # scene_images * slots_per_image.
+    scene_mode: bool = False
+    scene_images: int = 4
+    slots_per_image: int = 4
+    # C++ data path (native/scflow_native.cpp): bit-exact image decode in
+    # every reader (speed-parity with cv2's libjpeg-turbo path, works
+    # without cv2), plus a fused batched crop+resize+pad+normalize for the
+    # eval builder. Auto-falls back to cv2/numpy when the lib can't build.
+    use_native: bool = True
+    # crop backend: 'auto' uses cv2's SIMD resize when importable (measured
+    # 4.5x the scalar C++ bilinear) and the native path otherwise;
+    # 'on'/'off' force it. README "Native data path" records the numbers.
+    native_crop: str = "auto"
+    # background replacement / occlusion pasting on the cropped patch
+    # (reference RandomBackground / RandomOcclusion,
+    # datasets/pipelines/color_transform.py:176-403; the mixpbr/mix20real
+    # recipes use RandomBackground(background_dir='data/coco', p=0.3))
+    background_dir: str | None = None
+    background_p: float = 0.3
+    occlusion_p: float = 0.0
 
 
 @dataclasses.dataclass

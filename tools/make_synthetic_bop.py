@@ -69,6 +69,12 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # honor JAX_PLATFORMS even where sitecustomize force-selects a remote
+    # TPU backend: this offline data tool must not grab (or hang on) the
+    # chip tunnel when a parent test process asked for CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from scflow_tpu.data.pipeline import jitter_pose_np

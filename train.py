@@ -35,6 +35,20 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="train on on-device synthetic scenes (no data needed)")
+    p.add_argument("--scene", action="store_true",
+                   help="multi-object scene batching: every visible object "
+                        "of each image shares the batch, padded slots are "
+                        "masked via sample_valid (BASELINE config 4)")
+    p.add_argument("--scene-images", type=int, default=None)
+    p.add_argument("--slots-per-image", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="run the sharded eval on the recipe's test split "
+                        "every N steps (requires --config with test data)")
+    p.add_argument("--eval-limit", type=int, default=200,
+                   help="max eval images for --eval-every runs")
+    p.add_argument("--panel-every", type=int, default=None,
+                   help="dump train image panels (real|render|flows|mask) "
+                        "every N steps into work_dir/images")
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--data-root", default=None)
     p.add_argument("--image-list", default=None)
@@ -51,12 +65,21 @@ def resolve_config(args):
     if args.config:
         recipe = get_recipe(args.config)
         cfg, train_spec = recipe.config, recipe.train_data
+        test_spec = recipe.test_data
     else:
         from scflow_tpu.training import Config
 
-        cfg, train_spec = Config(), None
+        cfg, train_spec, test_spec = Config(), None, None
 
     m, o, d = cfg.model, cfg.optim, cfg.data
+    if args.scene:
+        d.scene_mode = True
+    if args.scene_images is not None:
+        d.scene_images = args.scene_images
+    if args.slots_per_image is not None:
+        d.slots_per_image = args.slots_per_image
+    if d.scene_mode:
+        d.batch_size = d.scene_images * d.slots_per_image
     if args.num_classes is not None:
         m.num_class = args.num_classes
     if args.iters is not None:
@@ -74,7 +97,7 @@ def resolve_config(args):
     if args.work_dir is not None:
         cfg.work_dir = args.work_dir
     cfg.seed = args.seed
-    return cfg, train_spec
+    return cfg, train_spec, test_spec
 
 
 def main():
@@ -96,7 +119,7 @@ def main():
                                      YCBV_MESH_DIAMETERS)
     from scflow_tpu.training.trainer import Trainer
 
-    cfg, train_spec = resolve_config(args)
+    cfg, train_spec, test_spec = resolve_config(args)
     num_classes = cfg.model.num_class
     image_size = cfg.data.image_scale
 
@@ -139,20 +162,31 @@ def main():
         from scflow_tpu.data.loader import TrainBatchBuilder, prefetch
         from scflow_tpu.training import YCBV_CLASS_NAMES
 
+        sample_num = -1 if cfg.data.scene_mode else 1
         if args.data_root is not None:
             from scflow_tpu.data.bop import SuperviseTrainDataset
 
             dataset = SuperviseTrainDataset(
                 args.data_root, args.image_list,
-                class_names=YCBV_CLASS_NAMES,
+                class_names=YCBV_CLASS_NAMES, sample_num=sample_num,
                 min_visib_fract=cfg.data.min_visib_fract, seed=cfg.seed)
         else:
-            dataset = build_dataset(train_spec, seed=cfg.seed)
+            dataset = build_dataset(train_spec, seed=cfg.seed,
+                                    sample_num=sample_num)
         mesh_points = [np.asarray(points.points[c]) for c in
                        range(bank.num_classes)]
-        builder = TrainBatchBuilder(dataset, cfg, mesh_points,
-                                    list(np.asarray(points.diameters)),
-                                    seed=cfg.seed)
+        if cfg.data.scene_mode:
+            from scflow_tpu.data.loader import SceneTrainBatchBuilder
+
+            builder = SceneTrainBatchBuilder(
+                dataset, cfg, mesh_points,
+                list(np.asarray(points.diameters)), seed=cfg.seed,
+                num_images=cfg.data.scene_images,
+                slots_per_image=cfg.data.slots_per_image)
+        else:
+            builder = TrainBatchBuilder(dataset, cfg, mesh_points,
+                                        list(np.asarray(points.diameters)),
+                                        seed=cfg.seed)
         it = prefetch(builder)
         get_batch = lambda step: next(it)  # noqa: E731
         sample = builder()
@@ -169,7 +203,52 @@ def main():
     if args.resume:
         trainer.resume()
 
-    trainer.fit(get_batch, num_steps=cfg.optim.total_steps)
+    eval_fn = None
+    if args.eval_every:
+        import os
+
+        import numpy as np
+
+        mesh_points = [np.asarray(points.points[c])
+                       for c in range(bank.num_classes)]
+        if (test_spec is not None
+                and os.path.isdir(test_spec.data_roots[0])):
+            # sharded batched eval over the recipe's test split
+            from scflow_tpu.configs.build import build_dataset
+            from scflow_tpu.data.loader import TestBatchBuilder
+            from scflow_tpu.metrics import ADDMetric
+            from scflow_tpu.training.evaluate import evaluate_dataset
+
+            test_ds = build_dataset(test_spec, seed=cfg.seed)
+            test_builder = TestBatchBuilder(test_ds, cfg, mesh_points)
+
+            def eval_fn(tr):
+                metric = ADDMetric(
+                    points_per_class=mesh_points,
+                    diameters=np.asarray(points.diameters),
+                    symmetric_classes=tuple(symmetric))
+                m, _ = evaluate_dataset(tr, test_builder, metric,
+                                        limit=args.eval_limit,
+                                        progress_every=0)
+                return {k: v for k, v in m.items()
+                        if k.startswith("average/") or k == "num_instances"}
+        else:
+            # no test split on disk: masked device-side ADD(-S) over
+            # synthetic jittered-GT batches (slot-aligned, no matching)
+            from scflow_tpu.data import synthetic_batch
+            from scflow_tpu.training.evaluate import \
+                evaluate_device_accumulator
+
+            def eval_fn(tr):
+                batches = [synthetic_batch(
+                    jax.random.PRNGKey(7_777 + i), renderer,
+                    cfg.data.batch_size) for i in range(4)]
+                return evaluate_device_accumulator(
+                    tr, batches, points, num_classes, mesh=tr.mesh)
+
+    trainer.fit(get_batch, num_steps=cfg.optim.total_steps,
+                eval_every=args.eval_every, eval_fn=eval_fn,
+                panel_every=args.panel_every)
 
 
 if __name__ == "__main__":
