@@ -38,15 +38,15 @@ _BIG_KEY = np.int32(0x7F7F0000)
 ATTR_PAD = 16        # per-vertex attribute channels padded to this
 
 
-def _coeff_table(verts_xy, verts_z, faces, face_valid):
+def _coeff_table(tri_xy, tri_z, face_valid):
     """Per-face channel table (F, 16):
     [a0,b0,c0, a1,b1,c1, a2,b2,c2, zt0,zt1,zt2, inv|area|, fid, valid, pad]
     where edge k is w_k(px,py) = a·px + b·py + c (area-sign folded in, so
     inside ⇔ all w ≥ 0) and zt are z-verts premultiplied by 1/|area| (zi
-    needs no per-pixel normalization)."""
-    f = faces.shape[0]
-    tri_xy = verts_xy[faces]            # (F, 3, 2)
-    tri_z = verts_z[faces]              # (F, 3)
+    needs no per-pixel normalization). Takes per-face vertex coords
+    directly — the ``verts[faces]`` gathers this replaced were ~25% of the
+    render phase (scattered gathers lower to a scalar path on TPU)."""
+    f = tri_xy.shape[0]
     ax, ay = tri_xy[:, 0, 0], tri_xy[:, 0, 1]
     bx, by = tri_xy[:, 1, 0], tri_xy[:, 1, 1]
     cx, cy = tri_xy[:, 2, 0], tri_xy[:, 2, 1]
@@ -72,186 +72,213 @@ def _coeff_table(verts_xy, verts_z, faces, face_valid):
     return jnp.stack(cols, axis=-1), bbox, ok
 
 
-def _select_tiles(coeff, bbox, ok, height, width, k_faces):
+def _select_tiles(coeff, bbox, ok, height, width, k_faces, attr_rows=None):
     """Chunk-granular top-K face selection per tile.
 
     Returns sel_coeff (T, 16, K) channel-major for lane-aligned kernel
-    loads, with the slot-valid flag folded into the valid channel."""
+    loads (plus selected attr rows when given). Selection is gather-free:
+    chunk c's slot is its overlap-prefix count, the (T, K8, C) slot one-hot
+    is formed by an equality compare, and the chunk tables are *matmul'd*
+    through the one-hot on the MXU — the chunk-row gather + (K, 16)
+    transpose this replaced was ~25% of the render phase. Unfilled slots
+    get all-zero rows (valid channel 0), so no per-slot masking is needed.
+    """
     f = coeff.shape[0]
     xmin, xmax, ymin, ymax = bbox
     ty, tx = height // TILE, width // TILE
+    t = ty * tx
     t_y0 = (jnp.arange(ty) * TILE).astype(jnp.float32)
     t_x0 = (jnp.arange(tx) * TILE).astype(jnp.float32)
     ovy = ((ymax[None, :] >= t_y0[:, None] - 0.5)
            & (ymin[None, :] <= t_y0[:, None] + TILE - 0.5))
     ovx = ((xmax[None, :] >= t_x0[:, None] - 0.5)
            & (xmin[None, :] <= t_x0[:, None] + TILE - 0.5))
-    overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(ty * tx, f)
-    ov_chunks = overlap.reshape(ty * tx, f // CHUNK, CHUNK).any(-1)
+    overlap = (ovy[:, None, :] & ovx[None, :, :] & ok).reshape(t, f)
+    ov_chunks = overlap.reshape(t, f // CHUNK, CHUNK).any(-1)  # (T, C)
     # slot assignment WITHOUT lax.top_k (sort-based top_k was ~half the
     # whole render phase on TPU): chunk c gets slot pos = #overlapping
-    # chunks before it; slot k's chunk recovered by an argmax over the
-    # exact one-hot (pos == k). Selects the same first-K overlapping
-    # chunks in the same order as the old top_k, as pure VPU reduce work.
+    # chunks before it. Selects the same first-K overlapping chunks in the
+    # same order as a top_k, as pure VPU reduce work.
     k8 = k_faces // CHUNK
     pos = jnp.cumsum(ov_chunks, axis=1) - 1                    # (T, C)
     assigned = ov_chunks & (pos < k8)
-    onehot = assigned[..., None] & (pos[..., None]
-                                    == jnp.arange(k8))         # (T, C, K8)
-    top_c = jnp.argmax(onehot, axis=1).astype(jnp.int32)       # (T, K8)
-    slot_filled = jnp.any(onehot, axis=1)                      # (T, K8)
-    top_idx = (top_c[..., None] * CHUNK
-               + jnp.arange(CHUNK)).reshape(ty * tx, k_faces)
-    # per-slot validity only — no per-face overlap re-check (a selected
-    # face that doesn't overlap this tile fails its edge tests for every
-    # tile pixel anyway, and per-element take_along_axis gathers are slow
-    # on TPU); face-level 'ok' is already folded into coeff channel 14
-    sel_valid = jnp.repeat(slot_filled, CHUNK, axis=1)         # (T, K)
+    onehot = (assigned[:, None, :]
+              & (pos[:, None, :] == jnp.arange(k8)[:, None])   # (T, K8, C)
+              ).astype(coeff.dtype).reshape(t * k8, f // CHUNK)
 
-    sel = coeff.reshape(f // CHUNK, CHUNK * 16)[top_c]
-    sel = sel.reshape(ty * tx, k_faces, 16)
-    sel = sel.at[..., 14].set(sel[..., 14] * sel_valid)
-    return jnp.swapaxes(sel, 1, 2), top_idx                   # (T, 16, K)
+    # channel-major chunk table (C, 16·CHUNK): one MXU matmul selects and
+    # lays out each tile's coefficients; only a major-axis relayout remains
+    cm = jnp.swapaxes(coeff.reshape(f // CHUNK, CHUNK, 16), 1, 2)
+    sel = (onehot @ cm.reshape(f // CHUNK, 16 * CHUNK)).reshape(
+        t, k8, 16, CHUNK)
+    sel = jnp.moveaxis(sel, 2, 1).reshape(t, 16, k_faces)      # (T, 16, K)
+    if attr_rows is None:
+        return sel, None
+    sel_attr = (onehot @ attr_rows.reshape(f // CHUNK, -1)).reshape(
+        t, k_faces, attr_rows.shape[-1])
+    return sel, sel_attr
 
 
-def _rasterize_kernel(tx: int, k_faces: int, d_attr: int):
+def _rasterize_kernel(tx: int, k_faces: int, d_attr: int, tpb: int):
+    """``tpb`` horizontally-consecutive tiles per program (static unroll):
+    tiny per-tile blocks make the grid huge and per-program DMA/launch
+    latency dominates. Outputs are written as (TILE, tpb·TILE) blocks of
+    (H, W)-layout arrays — the (T, P) tiled→image untile transpose this
+    replaces was ~3 ms/step of pure relayout copies."""
     p = TILE * TILE
 
     def kernel(coeff_ref, attr_ref, key_ref, z_ref, attr_out_ref):
-        t = pl.program_id(0)
-        y0 = ((t // tx) * TILE).astype(jnp.float32)
-        x0 = ((t % tx) * TILE).astype(jnp.float32)
+        i = pl.program_id(0)
+        row_blocks = tx // tpb
+        y0 = ((i // row_blocks) * TILE).astype(jnp.float32)
+        x00 = ((i % row_blocks) * (tpb * TILE)).astype(jnp.float32)
         pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        px = x0 + (pix % TILE).astype(jnp.float32)            # (P, 1)
-        py = y0 + (pix // TILE).astype(jnp.float32)
+        dx = (pix % TILE).astype(jnp.float32)
+        dy = (pix // TILE).astype(jnp.float32)
+        py = y0 + dy                                          # (P, 1)
 
-        def row(i):
-            return coeff_ref[0, i, :][None, :]                # (1, K)
+        # static unroll: Mosaic stack-allocates each iteration's (P, K)
+        # temporaries, so tpb is capped where ~3.2 MB/iter fits scoped VMEM
+        # (tpb=8 OOMs at 25.3 MB; a fori_loop would reuse buffers but its
+        # dynamic ref indexing crashes this toolchain's compile helper)
+        for j in range(tpb):
+            px = x00 + (j * TILE) + dx                        # (P, 1)
 
-        w0 = row(0) * px + (row(1) * py + row(2))             # (P, K)
-        w1 = row(3) * px + (row(4) * py + row(5))
-        w2 = row(6) * px + (row(7) * py + row(8))
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (row(14) > 0)
-        zi = w0 * row(9) + w1 * row(10) + w2 * row(11)
-        zkey = pltpu.bitcast(jnp.maximum(zi, 1e-30), jnp.int32)
-        fid = row(13).astype(jnp.int32)
-        key = ((zkey >> ID_BITS) << ID_BITS) | fid
-        key = jnp.where(inside, key, _BIG_KEY)
-        min_key = jnp.min(key, axis=1, keepdims=True)         # (P, 1)
-        key_ref[0] = min_key[:, 0].reshape(8, p // 8)
+            cj = coeff_ref[j]                                 # (16, K)
 
-        winner = ((key == min_key) & inside).astype(jnp.float32)
-        z_ref[0] = jnp.sum(winner * zi, axis=1).reshape(8, p // 8)
-        if d_attr:
-            a = attr_ref[0]                                   # (K, 3·Dp)
-            interp = jnp.dot(winner * w0, a[:, 0:ATTR_PAD],
-                             preferred_element_type=jnp.float32)
-            interp += jnp.dot(winner * w1, a[:, ATTR_PAD:2 * ATTR_PAD],
-                              preferred_element_type=jnp.float32)
-            interp += jnp.dot(winner * w2, a[:, 2 * ATTR_PAD:3 * ATTR_PAD],
-                              preferred_element_type=jnp.float32)
-            attr_out_ref[0] = interp
+            def row(i, cj=cj):
+                return cj[i][None, :]                         # (1, K)
+
+            w0 = row(0) * px + (row(1) * py + row(2))         # (P, K)
+            w1 = row(3) * px + (row(4) * py + row(5))
+            w2 = row(6) * px + (row(7) * py + row(8))
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (row(14) > 0)
+            zi = w0 * row(9) + w1 * row(10) + w2 * row(11)
+            zkey = pltpu.bitcast(jnp.maximum(zi, 1e-30), jnp.int32)
+            fid = row(13).astype(jnp.int32)
+            key = ((zkey >> ID_BITS) << ID_BITS) | fid
+            key = jnp.where(inside, key, _BIG_KEY)
+            min_key = jnp.min(key, axis=1, keepdims=True)     # (P, 1)
+            sl = slice(j * TILE, (j + 1) * TILE)
+            key_ref[:, sl] = min_key[:, 0].reshape(TILE, TILE)
+
+            winner = ((key == min_key) & inside).astype(jnp.float32)
+            z_ref[:, sl] = jnp.sum(winner * zi, axis=1).reshape(TILE, TILE)
+            if d_attr:
+                a = attr_ref[j]                               # (K, 3·Dp)
+                interp = jnp.dot(winner * w0, a[:, 0:ATTR_PAD],
+                                 preferred_element_type=jnp.float32)
+                interp += jnp.dot(winner * w1, a[:, ATTR_PAD:2 * ATTR_PAD],
+                                  preferred_element_type=jnp.float32)
+                interp += jnp.dot(winner * w2, a[:, 2 * ATTR_PAD:3 * ATTR_PAD],
+                                  preferred_element_type=jnp.float32)
+                attr_out_ref[j] = interp
 
     return kernel
-
-
-def _untile(x, height, width):
-    """(T, TILE, TILE, *extra) → (H, W, *extra)."""
-    ty, tx = height // TILE, width // TILE
-    extra = x.shape[3:]
-    x = x.reshape((ty, tx, TILE, TILE) + extra)
-    x = jnp.moveaxis(x, 2, 1)
-    return x.reshape((height, width) + extra)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "k_faces",
                                    "interpret", "return_bary"))
 def rasterize_fast(verts_xy, verts_z, faces, face_valid, height, width,
                    tri_attrs=None, k_faces: int = K_FACES,
-                   interpret: bool = False, return_bary: bool = True):
+                   interpret: bool = False, return_bary: bool = True,
+                   tri_xy=None, tri_z=None):
     """Pallas tile-binned rasterizer (single sample; vmap over a batch).
 
     Same semantics as ``rendering.rasterizer.rasterize_binned``: returns
     dict(zbuf, face_id[, bary][, attrs]). ``tri_attrs`` is (F, 3, D≤16)
-    per-face-vertex attributes interpolated in-kernel.
+    per-face-vertex attributes interpolated in-kernel. Pass precomputed
+    per-face vertex coords ``tri_xy (F, 3, 2)`` / ``tri_z (F, 3)`` (e.g.
+    projected from a MeshBank tri table) to skip the slow ``verts[faces]``
+    gathers; ``verts_xy/verts_z`` may then be None (``faces`` is still
+    used for the ``return_bary`` tail).
     """
     assert height % TILE == 0 and width % TILE == 0, (height, width)
-    fcount0 = faces.shape[0]
+    if tri_xy is None:
+        tri_xy = verts_xy[faces]                              # (F, 3, 2)
+        tri_z = verts_z[faces]                                # (F, 3)
+    fcount0 = tri_xy.shape[0]
     pad = (-fcount0) % CHUNK
     if pad:
-        faces = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)])
+        if faces is not None:
+            faces = jnp.concatenate([faces,
+                                     jnp.zeros((pad, 3), faces.dtype)])
         face_valid = jnp.concatenate([face_valid, jnp.zeros((pad,), bool)])
+        tri_xy = jnp.concatenate(
+            [tri_xy, jnp.zeros((pad, 3, 2), tri_xy.dtype)])
+        tri_z = jnp.concatenate([tri_z, jnp.zeros((pad, 3), tri_z.dtype)])
         if tri_attrs is not None:
             tri_attrs = jnp.concatenate(
                 [tri_attrs, jnp.zeros((pad,) + tri_attrs.shape[1:],
                                       tri_attrs.dtype)])
-    fcount = faces.shape[0]
+    fcount = tri_xy.shape[0]
     assert fcount < (1 << ID_BITS), "face budget exceeds packed id bits"
     k_faces = min(k_faces, max(CHUNK, (fcount // CHUNK) * CHUNK))
 
-    coeff, bbox, ok = _coeff_table(verts_xy, verts_z, faces, face_valid)
-    sel_coeff, top_idx = _select_tiles(coeff, bbox, ok, height, width,
-                                       k_faces)
+    coeff, bbox, ok = _coeff_table(tri_xy, tri_z, face_valid)
     ty, tx = height // TILE, width // TILE
     t = ty * tx
     p = TILE * TILE
 
     d_attr = 0
+    at = None
     if tri_attrs is not None:
         d_attr = tri_attrs.shape[-1]
         assert d_attr <= ATTR_PAD, d_attr
         inv_abs = coeff[:, 12]
-        at = tri_attrs * inv_abs[:, None, None]               # premultiplied
-        at = jnp.pad(at, ((0, 0), (0, 0), (0, ATTR_PAD - d_attr)))
-        at = at.reshape(fcount // CHUNK, CHUNK, 3 * ATTR_PAD)
-        sel_attr = at[top_idx[:, ::CHUNK] // CHUNK].reshape(
-            t, k_faces, 3 * ATTR_PAD)
-    else:
+        attr_p = tri_attrs * inv_abs[:, None, None]           # premultiplied
+        attr_p = jnp.pad(attr_p,
+                         ((0, 0), (0, 0), (0, ATTR_PAD - d_attr)))
+        at = attr_p.reshape(fcount, 3 * ATTR_PAD)
+    sel_coeff, sel_attr = _select_tiles(coeff, bbox, ok, height, width,
+                                        k_faces, attr_rows=at)
+    if sel_attr is None:
         sel_attr = jnp.zeros((t, k_faces, 3 * ATTR_PAD), jnp.float32)
 
-    keys, zb, attrs = pl.pallas_call(
-        _rasterize_kernel(tx, k_faces, d_attr),
-        grid=(t,),
+    tpb = 4 if tx % 4 == 0 else 1           # tiles per program (one block row)
+    rb = tx // tpb                          # block columns per tile row
+    keys, zbuf, attrs = pl.pallas_call(
+        _rasterize_kernel(tx, k_faces, d_attr, tpb),
+        grid=(t // tpb,),
         in_specs=[
-            pl.BlockSpec((1, 16, k_faces), lambda i: (i, 0, 0),
+            pl.BlockSpec((tpb, 16, k_faces), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_faces, 3 * ATTR_PAD), lambda i: (i, 0, 0),
+            pl.BlockSpec((tpb, k_faces, 3 * ATTR_PAD), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, p // 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((TILE, tpb * TILE),
+                         lambda i, rb=rb: (i // rb, i % rb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p // 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((TILE, tpb * TILE),
+                         lambda i, rb=rb: (i // rb, i % rb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, ATTR_PAD), lambda i: (i, 0, 0),
+            pl.BlockSpec((tpb, p, ATTR_PAD), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, 8, p // 8), jnp.int32),
-            jax.ShapeDtypeStruct((t, 8, p // 8), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
             jax.ShapeDtypeStruct((t, p, ATTR_PAD), jnp.float32),
         ],
         interpret=interpret,
     )(sel_coeff, sel_attr)
-
-    keys = _untile(keys.reshape(t, TILE, TILE), height, width)
-    zbuf = _untile(zb.reshape(t, TILE, TILE), height, width)
 
     bg = keys >= _BIG_KEY
     face_id = jnp.where(bg, -1, keys & ((1 << ID_BITS) - 1))
     zbuf = jnp.where(bg, 0.0, zbuf)
     out = {"zbuf": zbuf, "face_id": face_id}
     if tri_attrs is not None:
-        attrs = _untile(attrs.reshape(t, TILE, TILE, ATTR_PAD),
-                        height, width)
+        attrs = attrs.reshape(ty, tx, TILE, TILE, ATTR_PAD)
+        attrs = jnp.moveaxis(attrs, 2, 1).reshape(height, width, ATTR_PAD)
         out["attrs"] = jnp.where(bg[..., None], 0.0, attrs[..., :d_attr])
     if return_bary:
         # XLA tail (per-pixel gather) — kept for parity tests; the renderer
         # path requests attrs instead.
         safe = jnp.maximum(face_id, 0)
-        tri_xy = verts_xy[faces][safe]                        # (H, W, 3, 2)
-        ys = jnp.arange(height, dtype=verts_xy.dtype)
-        xs = jnp.arange(width, dtype=verts_xy.dtype)
+        tri_xy = tri_xy[safe]                                 # (H, W, 3, 2)
+        ys = jnp.arange(height, dtype=tri_xy.dtype)
+        xs = jnp.arange(width, dtype=tri_xy.dtype)
         px, py = jnp.meshgrid(xs, ys)
         ax, ay = tri_xy[..., 0, 0], tri_xy[..., 0, 1]
         bx, by = tri_xy[..., 1, 0], tri_xy[..., 1, 1]

@@ -45,6 +45,28 @@ class MeshBank:
                 self.face_valid[labels], self.vert_normals[labels],
                 self.vert_colors[labels])
 
+    def gather_tris(self, labels: jax.Array):
+        """Per-sample face-vertex tables (N, F, 3, {3 pos | 9 pos+nrm+alb}).
+
+        Face-vertex gathers (``verts[faces]`` etc.) are label-static, so
+        they are precomputed per class once and a batch render gathers
+        contiguous class rows — per-face gathers were ~25% of render time
+        on TPU (scattered row gathers lower to a slow scalar path)."""
+        tri_pos, tri_attr = self._tri_tables()
+        return tri_pos[labels], tri_attr[labels]
+
+    def _tri_tables(self):
+        cache = getattr(self, "_tri_cache", None)
+        if cache is None:
+            index = jax.jit(jax.vmap(lambda v, f: v[f]))   # (C,V,3),(C,F,3)
+            tri_pos = index(self.verts, self.faces)        # (C, F, 3, 3)
+            tri_nrm = index(self.vert_normals, self.faces)
+            tri_col = index(self.vert_colors, self.faces)
+            cache = (tri_pos,
+                     jnp.concatenate([tri_pos, tri_nrm, tri_col], axis=-1))
+            object.__setattr__(self, "_tri_cache", cache)
+        return cache
+
 
 def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals."""

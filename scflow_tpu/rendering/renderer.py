@@ -71,6 +71,7 @@ def _render(self: Renderer, rotations, translations, k, labels):
     h, w = self.image_size
     verts, faces, face_valid, vert_normals, vert_colors = \
         self.mesh_bank.gather(labels)
+    tri_pos, tri_attr_all = self.mesh_bank.gather_tris(labels)
 
     rasterizer_kind = self.rasterizer
     interpret = jax.default_backend() == "cpu"
@@ -79,31 +80,36 @@ def _render(self: Renderer, rotations, translations, k, labels):
         # interpret mode (CPU) the XLA path is much faster
         rasterizer_kind = "binned" if interpret else "pallas"
 
-    def one(verts_i, faces_i, fvalid_i, normals_i, colors_i, r_i, t_i, k_i):
-        xy, z = project_vertices(verts_i, r_i, t_i, k_i)
+    def one(verts_i, faces_i, fvalid_i, tri_pos_i, tri_attr, r_i, t_i, k_i):
+        # project the per-face vertex table directly (3 entries per shared
+        # vertex, but no verts[faces] gathers — scattered row gathers were
+        # ~25% of render time on TPU; projection is trivial matmul work)
+        tri_cam = tri_pos_i @ r_i.T + t_i              # (F, 3, 3)
+        uvw = tri_cam @ k_i.T
+        tri_z = uvw[..., 2]
+        tri_xy = uvw[..., :2] / (tri_z[..., None] + 1e-8)
         if self.cull_backfaces:
             # camera-frame face normal vs centroid direction: back faces of
             # closed outward-normal meshes never win the z-test, so culling
             # them is output-identical and halves rasterization work.
-            p_cam = verts_i @ r_i.T + t_i
-            tri = p_cam[faces_i]                       # (F, 3, 3)
-            fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-            centroid = tri.mean(axis=1)
+            fn = jnp.cross(tri_cam[:, 1] - tri_cam[:, 0],
+                           tri_cam[:, 2] - tri_cam[:, 0])
+            centroid = tri_cam.mean(axis=1)
             fvalid_i = fvalid_i & (jnp.sum(fn * centroid, axis=-1) < 0.0)
-        tri_attr = jnp.concatenate(
-            [verts_i[faces_i], normals_i[faces_i], colors_i[faces_i]],
-            axis=-1)                                    # (F, 3, 9)
         if rasterizer_kind == "pallas":
             from ..ops.rasterize_fast import rasterize_fast
 
-            frag = rasterize_fast(xy, z, faces_i, fvalid_i, h, w,
+            frag = rasterize_fast(None, None, faces_i, fvalid_i, h, w,
                                   tri_attrs=tri_attr, interpret=interpret,
-                                  return_bary=False)
+                                  return_bary=False,
+                                  tri_xy=tri_xy, tri_z=tri_z)
         elif rasterizer_kind == "binned":
             # attributes interpolate inside the tile pass (no gathers)
+            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
             frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w,
                                     tri_attrs=tri_attr, return_bary=False)
         else:
+            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
             frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
                              chunk=self.face_chunk)
         mask = frag["face_id"] >= 0
@@ -133,8 +139,9 @@ def _render(self: Renderer, rotations, translations, k, labels):
                           background_color=self.background_color)
         return rgb, frag["zbuf"], mask
 
-    images, depth, mask = jax.vmap(one)(verts, faces, face_valid, vert_normals,
-                                        vert_colors, rotations, translations, k)
+    images, depth, mask = jax.vmap(one)(verts, faces, face_valid, tri_pos,
+                                        tri_attr_all, rotations, translations,
+                                        k)
     return {"images": images, "depth": depth, "mask": mask}
 
 
