@@ -26,6 +26,28 @@ def instance_norm(channels: int, name: str | None = None) -> nn.Module:
     return nn.GroupNorm(num_groups=channels, epsilon=1e-5, name=name)
 
 
+class FusedInstanceNorm(nn.Module):
+    """InstanceNorm with the same params/semantics as
+    ``nn.GroupNorm(num_groups=C)`` (checkpoint-layout compatible), backed
+    by the one-pass Pallas kernel on TPU (ops/fused_norm.py) — XLA's
+    stat-reduce + normalize passes were ~10 ms/step of the batch-32
+    encoder profile."""
+    epsilon: float = 1e-5
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fused_norm import instance_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = instance_norm(x, scale, bias, self.epsilon)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+        return y
+
+
 class ConvBlock(nn.Module):
     """conv → (norm) → (act): the mmcv ``ConvModule`` equivalent.
 
@@ -50,9 +72,14 @@ class ConvBlock(nn.Module):
         # norm eps/momentum match torch defaults (numerical parity with the
         # reference and its published checkpoints: torch eps=1e-5, BN
         # momentum=0.1 ⇒ flax momentum=0.9)
+        # norms carry the compute dtype too: without it flax returns f32
+        # and every inter-layer activation round-trips HBM at 2x width
+        # (the encoders were bandwidth-bound at f32). Statistics are still
+        # computed in f32 internally (flax _compute_stats), so this only
+        # changes the output cast.
         if self.norm == "in":
-            x = nn.GroupNorm(num_groups=self.features, epsilon=1e-5,
-                             name="norm")(x)
+            x = FusedInstanceNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="norm")(x)
         elif self.norm == "bn":
             # sample_mask (N,) excludes padded batch slots from the batch
             # statistics so padded training batches reproduce the unpadded
@@ -63,10 +90,11 @@ class ConvBlock(nn.Module):
                     (-1,) + (1,) * (x.ndim - 1))
                 mask = jnp.broadcast_to(mask, x.shape)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                             momentum=0.9, name="norm")(x, mask=mask)
+                             momentum=0.9, dtype=self.dtype,
+                             name="norm")(x, mask=mask)
         elif self.norm == "gn":
             x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
-                             name="norm")(x)
+                             dtype=self.dtype, name="norm")(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -1,0 +1,129 @@
+"""Fused instance-norm Pallas kernel.
+
+The RAFT encoders use InstanceNorm after nearly every conv
+(reference models/encoder/raft_encoder.py; our ConvBlock norm='in').
+XLA lowers each as separate stat-reduce + normalize passes — ~4 HBM
+round-trips of the full activation per norm layer, which made the
+encoders bandwidth-bound (~10 ms/step of the batch-32 profile was IN).
+
+This kernel processes one sample per program: the (H·W, C) activation is
+DMA'd to VMEM once, mean/var computed in f32 on-chip (matching flax
+GroupNorm's f32 stat computation), normalized with the learned
+scale/bias, and written once — 1 read + 1 write of HBM total.
+
+Backward runs in plain XLA via ``jax.custom_vjp`` (training steps are
+compile-bound elsewhere; eval/refinement is where IN dominated).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per in-kernel chunk: bounds Mosaic's f32 stack temporaries
+_CHUNK_ROWS = 4096
+
+# kill switch: SCFLOW_FUSED_IN=0 falls back to the XLA lowering everywhere
+# (the kernel is numerically chip-verified, but a remote-compile failure on
+# an untested shape must never take down a driver-run bench).
+_ENABLED = os.environ.get("SCFLOW_FUSED_IN", "1") != "0"
+
+
+def _in_kernel(chunks: int, rows: int, eps: float):
+    def kernel(x_ref, g_ref, b_ref, o_ref):
+        c = x_ref.shape[-1]
+        s = jnp.zeros((1, c), jnp.float32)
+        ss = jnp.zeros((1, c), jnp.float32)
+        for j in range(chunks):
+            xb = x_ref[0, j].astype(jnp.float32)          # (rows, C)
+            s += jnp.sum(xb, axis=0, keepdims=True)
+            ss += jnp.sum(xb * xb, axis=0, keepdims=True)
+        n = float(chunks * rows)
+        mu = s / n
+        var = jnp.maximum(ss / n - mu * mu, 0.0)
+        inv = jax.lax.rsqrt(var + eps) * g_ref[0].astype(jnp.float32)
+        shift = b_ref[0].astype(jnp.float32) - mu * inv
+        for j in range(chunks):
+            y = x_ref[0, j].astype(jnp.float32) * inv + shift
+            o_ref[0, j] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def instance_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                  eps: float = 1e-5) -> jax.Array:
+    """Per-(sample, channel) normalization over H·W, NHWC.
+
+    Equivalent to ``flax.linen.GroupNorm(num_groups=C)`` (biased variance,
+    f32 statistics, eps inside the sqrt), returned in ``x.dtype``.
+    """
+    return _instance_norm_fwd_impl(x, scale, bias, eps)
+
+
+def _reference_in(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _instance_norm_fwd_impl(x, scale, bias, eps):
+    n, h, w, c = x.shape
+    hw = h * w
+    if (not _ENABLED or jax.default_backend() != "tpu" or hw % 8 != 0
+            or hw * c * (x.dtype.itemsize + 6) > 12 * 2 ** 20):
+        return _reference_in(x, scale, bias, eps)
+    chunks = 1
+    rows = hw
+    while rows > _CHUNK_ROWS and rows % 2 == 0:
+        chunks *= 2
+        rows //= 2
+    xr = x.reshape(n, chunks, rows, c)
+    out = pl.pallas_call(
+        _in_kernel(chunks, rows, eps),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, rows, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunks, rows, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, chunks, rows, c), x.dtype),
+    )(xr, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(n, h, w, c)
+
+
+def _fwd(x, scale, bias, eps):
+    return _instance_norm_fwd_impl(x, scale, bias, eps), (x, scale)
+
+
+def _bwd(eps, res, g):
+    x, scale = res
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mu = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    dscale = jnp.sum(gf * xhat, axis=(0, 1, 2))
+    dbias = jnp.sum(gf, axis=(0, 1, 2))
+    gs = gf * scale.astype(jnp.float32)
+    m1 = gs.mean(axis=(1, 2), keepdims=True)
+    m2 = (gs * xhat).mean(axis=(1, 2), keepdims=True)
+    dx = inv * (gs - m1 - xhat * m2)
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+instance_norm.defvjp(_fwd, _bwd)

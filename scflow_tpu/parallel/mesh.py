@@ -24,6 +24,11 @@ def initialize_distributed(coordinator_address: str | None = None,
     Reads coordinator settings from args or the standard JAX env vars;
     no-op for single-process runs.
     """
+    # honor JAX_PLATFORMS even where a sitecustomize force-selects a
+    # platform via jax.config (which overrides the env var): CI and the
+    # test suite rely on JAX_PLATFORMS=cpu actually meaning cpu.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if num_processes is None:
         num_processes = int(os.environ.get("SCFLOW_NUM_PROCESSES", "1"))
     if num_processes <= 1:

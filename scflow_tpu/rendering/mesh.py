@@ -57,13 +57,18 @@ class MeshBank:
 
     def _tri_tables(self):
         cache = getattr(self, "_tri_cache", None)
-        if cache is None:
-            index = jax.jit(jax.vmap(lambda v, f: v[f]))   # (C,V,3),(C,F,3)
-            tri_pos = index(self.verts, self.faces)        # (C, F, 3, 3)
-            tri_nrm = index(self.vert_normals, self.faces)
-            tri_col = index(self.vert_colors, self.faces)
-            cache = (tri_pos,
-                     jnp.concatenate([tri_pos, tri_nrm, tri_col], axis=-1))
+        if cache is not None:
+            return cache
+        index = jax.vmap(lambda v, f: v[f])                # (C,V,3),(C,F,3)
+        tri_pos = index(self.verts, self.faces)            # (C, F, 3, 3)
+        tri_nrm = index(self.vert_normals, self.faces)
+        tri_col = index(self.vert_colors, self.faces)
+        cache = (tri_pos,
+                 jnp.concatenate([tri_pos, tri_nrm, tri_col], axis=-1))
+        # only memoize concrete tables: when the bank arrays are jit
+        # arguments, caching the traced result would leak tracers into
+        # later traces (XLA CSEs the in-graph recompute anyway).
+        if not isinstance(self.verts, jax.core.Tracer):
             object.__setattr__(self, "_tri_cache", cache)
         return cache
 

@@ -77,8 +77,13 @@ def _render(self: Renderer, rotations, translations, k, labels):
     interpret = jax.default_backend() == "cpu"
     if rasterizer_kind == "auto":
         # the Pallas kernel is ~2x the XLA binned path on TPU; under
-        # interpret mode (CPU) the XLA path is much faster
-        rasterizer_kind = "binned" if interpret else "pallas"
+        # interpret mode (CPU) the XLA path is much faster. Mosaic needs
+        # full 128-lane output blocks: the kernel packs 4 tiles per program
+        # (tpb=4 → 32×128 blocks), so width must be a multiple of 4·TILE
+        # and height of TILE — smaller frames go to the XLA twin.
+        from ..ops.rasterize_fast import TILE
+        fits = h % TILE == 0 and w % (4 * TILE) == 0
+        rasterizer_kind = "pallas" if (fits and not interpret) else "binned"
 
     def one(verts_i, faces_i, fvalid_i, tri_pos_i, tri_attr, r_i, t_i, k_i):
         # project the per-face vertex table directly (3 entries per shared
