@@ -100,6 +100,12 @@ def _instance_norm_fwd_impl(x, scale, bias, eps):
         out_specs=pl.BlockSpec((1, chunks, rows, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, chunks, rows, c), x.dtype),
+        # the default 16 MiB scoped-vmem budget rejects the stem shape
+        # (128·128·64 f32 ≈ 4 MiB block, double-buffered in+out ≈ 16 MiB);
+        # physical VMEM is 128 MiB, so raise the cap instead of shrinking
+        # the block — the size guard above already bounds the footprint.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(xr, scale.reshape(1, c), bias.reshape(1, c))
     return out.reshape(n, h, w, c)
 

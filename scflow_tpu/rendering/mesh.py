@@ -59,17 +59,29 @@ class MeshBank:
         cache = getattr(self, "_tri_cache", None)
         if cache is not None:
             return cache
-        index = jax.vmap(lambda v, f: v[f])                # (C,V,3),(C,F,3)
-        tri_pos = index(self.verts, self.faces)            # (C, F, 3, 3)
-        tri_nrm = index(self.vert_normals, self.faces)
-        tri_col = index(self.vert_colors, self.faces)
-        cache = (tri_pos,
-                 jnp.concatenate([tri_pos, tri_nrm, tri_col], axis=-1))
-        # only memoize concrete tables: when the bank arrays are jit
-        # arguments, caching the traced result would leak tracers into
-        # later traces (XLA CSEs the in-graph recompute anyway).
-        if not isinstance(self.verts, jax.core.Tracer):
-            object.__setattr__(self, "_tri_cache", cache)
+
+        def compute():
+            index = jax.vmap(lambda v, f: v[f])            # (C,V,3),(C,F,3)
+            tri_pos = index(self.verts, self.faces)        # (C, F, 3, 3)
+            tri_nrm = index(self.vert_normals, self.faces)
+            tri_col = index(self.vert_colors, self.faces)
+            return (tri_pos,
+                    jnp.concatenate([tri_pos, tri_nrm, tri_col], axis=-1))
+
+        # Memoization must never capture tracers: under omnistaging, ops on
+        # concrete closure arrays *inside* a jit trace still stage into the
+        # jaxpr and return tracers, which would leak into later traces. So
+        # when the bank arrays are concrete (the normal closed-over-Renderer
+        # case), force compile-time evaluation and cache the concrete tables;
+        # when the bank itself is a traced jit argument, recompute in-graph
+        # each call (XLA CSEs it) and skip the cache.
+        if any(isinstance(a, jax.core.Tracer)
+               for a in (self.verts, self.faces, self.vert_normals,
+                         self.vert_colors)):
+            return compute()
+        with jax.ensure_compile_time_eval():
+            cache = compute()
+        object.__setattr__(self, "_tri_cache", cache)
         return cache
 
 
