@@ -2,10 +2,10 @@
 
 RAFT-style 4D correlation (reference models/decoder/raft_decoder.py:19-58
 ``CorrelationPyramid`` and models/utils/corr_lookup.py:71-136 ``CorrLookup``),
-laid out TPU-natively: the volume is (N, H, W, H_l, W_l) with the *target*
-dims pooled per level, built by one MXU matmul. A fused Pallas kernel that
-never materializes the volume lives in ``scflow_tpu.ops`` (the XLA version
-here is the correctness twin).
+laid out TPU-natively: the volume is built by one MXU matmul and the bilinear
+tap lookup is expressed as dense separable contractions (zero gathers). The
+``_pm`` (pixels-minor) variants are the production path — the volume lives
+in a layout where the lookup is pure fused VPU work.
 """
 from __future__ import annotations
 

@@ -189,6 +189,12 @@ class SCFlowDecoder(nn.Module):
         num_iters = self.iters if iters is None else iters
 
         pyramid = correlation_pyramid_pm(feat_render, feat_real, self.num_levels)
+        if self.dtype is not None:
+            # bf16 fast path: store the volume (the dominant HBM array —
+            # level 0 is (N, H, W, H·W)) at half width. Stats/accumulation
+            # stay f32 (correlation_pyramid_pm accumulates f32; the lookup
+            # contractions promote to f32), so only the stored values round.
+            pyramid = [p.astype(self.dtype) for p in pyramid]
 
         # Dense 2D-3D correspondences from the rendered depth (the shape
         # constraint's geometry, computed once per forward).

@@ -68,7 +68,13 @@ class SCFlowRefiner(nn.Module):
         """(render feat, real feat, GRU h, context) — scflow_refiner.py:84-106.
 
         ``sample_valid`` (N,) excludes padded batch slots from the context
-        encoder's BN statistics (feature encoders use IN — per-sample)."""
+        encoder's BN statistics (feature encoders use IN — per-sample).
+
+        Note: batching render+real through ONE (2N, ...) shared-encoder
+        apply was measured 12% SLOWER end-to-end on TPU v5e (518→462 fps,
+        batch 32) — the 2N apply alone is the same speed, but it degrades
+        XLA's full-graph schedule/layouts downstream. Two N-sized applies
+        are kept deliberately."""
         feat_render = self.render_encoder(render_images, train)
         feat_real = self.real_encoder(real_images, train)
         cxt = self.context(render_images, train, sample_valid)
