@@ -1,14 +1,26 @@
 """Benchmark: batched pose-refinement throughput with per-phase breakdown.
 
-Measures end-to-end refinement frames/s (render at initial pose + SCFlow
-8-iteration refinement, BASELINE.md config 2 shapes: 256² crops, 4-level
-pyramid, radius 4, batch 32) on realistic mesh complexity (1280-face
-icospheres ≈ the models_1024 eval meshes), in f32 AND bf16, plus:
+Three sections, one JSON line:
 
-- per-phase mean ms (render / encoders / correlation-pyramid build /
-  GRU-loop remainder) via PhaseTimer (SURVEY.md §3.1 hot-spot map);
-- achieved TFLOP/s and MFU from XLA ``cost_analysis`` flops and the chip's
-  peak (device-kind table).
+1. **Inference step** (headline, BASELINE.md config 2 shapes): end-to-end
+   refinement frames/s (render at initial pose + SCFlow 8-iteration
+   refinement, 256² crops, 4-level pyramid, radius 4, batch 32) on
+   realistic mesh complexity (1280-face icospheres ≈ the models_1024 eval
+   meshes), in f32 AND bf16, with per-phase mean ms (render / encoders /
+   correlation-pyramid build / GRU-loop remainder; phases are measured as
+   independently jitted subgraphs so they do NOT sum exactly to ``full`` —
+   the residual includes dispatch overhead and lost cross-phase fusion)
+   and MFU from XLA ``cost_analysis`` flops vs the chip's peak.
+2. **Training step** (BASELINE.md config 3 shapes): jitted
+   ``make_train_step`` — render + forward + backward through the
+   8-iteration scan + AdamW — at the reference recipe's batch 16
+   (configs/refine_models/scflow_ycbv_pbr.py:305-320), steps/s, per-phase
+   ms (render / forward-loss / backward+optimizer-by-subtraction), and
+   train MFU.
+3. **Eval pipeline** (BASELINE.md config 2 protocol): the real ``test.py``
+   path — BOP readers → crop/resize/pad → packed sharded batches →
+   refinement → host ADD(-S) matching — over a generated synthetic BOP
+   set, reporting images/s and the host-matching share.
 
 Baseline: the CUDA reference publishes no numbers (BASELINE.md) — the
 30 fps "baseline" is NOTIONAL, taken from the SCFlow paper's ~35 ms/frame
@@ -18,7 +30,10 @@ The driver-set target is ≥ 5×.
 Prints ONE JSON line (headline = best-precision full-path throughput).
 """
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import jax
@@ -39,7 +54,7 @@ _PEAK_TFLOPS = {
 }
 
 
-def _timeit(fn, args, steps, timer=None, phase=None):
+def _timeit(fn, args, steps):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -60,13 +75,19 @@ def _flops_of(fn, *args):
         return 0.0
 
 
-def main(batch=32, iters=8, image_size=(256, 256), num_class=21, steps=10):
+def _peak_tflops():
+    dev = jax.devices()[0]
+    return (_PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), None),
+            getattr(dev, "device_kind", "unknown"))
+
+
+def bench_infer(batch=32, iters=8, image_size=(256, 256), num_class=21,
+                steps=10):
     from scflow_tpu.data import synthetic_batch
+    from scflow_tpu.models.corr import correlation_pyramid_pm
     from scflow_tpu.rendering import Renderer, make_test_meshes
     from scflow_tpu.training import (Config, ModelConfig, build_model,
                                      make_eval_step, render_at_pose)
-    from scflow_tpu.models.corr import correlation_pyramid_pm
-    from scflow_tpu.utils.profiling import PhaseTimer
 
     # 1280-face icospheres: the models_1024 mesh-complexity class
     bank = make_test_meshes(num_classes=num_class, subdivisions=3,
@@ -99,8 +120,6 @@ def main(batch=32, iters=8, image_size=(256, 256), num_class=21, steps=10):
 
         if dtype == "bfloat16":
             # per-phase breakdown on the fast-path precision
-            timer = PhaseTimer()
-
             render_fn = jax.jit(lambda b: render_at_pose(
                 renderer, b["ref_rotations"], b["ref_translations"],
                 b["k"], b["labels"], cfg.data.normalize_mean,
@@ -136,11 +155,182 @@ def main(batch=32, iters=8, image_size=(256, 256), num_class=21, steps=10):
             flops_frame = _flops_of(
                 lambda p, bs, b: eval_step(p, bs, b), params, batch_stats,
                 batch_data) / batch
+    return rows, phase_ms, flops_frame
 
+
+def bench_train(batch=16, iters=8, image_size=(256, 256), num_class=21,
+                steps=10, dtype="bfloat16"):
+    """Training-step throughput at the reference recipe shape (BASELINE
+    config 3: batch 16, 8 iters, 100k iters —
+    reference configs/refine_models/scflow_ycbv_pbr.py:282-320)."""
+    from scflow_tpu.data import synthetic_batch
+    from scflow_tpu.rendering import Renderer, make_test_meshes
+    from scflow_tpu.training import (Config, ModelConfig, build_model,
+                                     build_points_bank, init_train_state,
+                                     make_optimizer, make_train_step,
+                                     render_at_pose)
+    from scflow_tpu.training.steps import scflow_loss
+
+    bank = make_test_meshes(num_classes=num_class, subdivisions=3,
+                            radius=60.0)
+    renderer = Renderer(bank, image_size=image_size)
+    cfg = Config(model=ModelConfig(num_class=num_class, iters=iters,
+                                   test_iters=iters, dtype=dtype))
+    model = build_model(cfg)
+    points = build_points_bank(bank, num_points=1000)
+
+    batch_data = synthetic_batch(jax.random.PRNGKey(0), renderer, batch)
+    rendered, depth, mask = render_at_pose(
+        renderer, batch_data["ref_rotations"], batch_data["ref_translations"],
+        batch_data["k"], batch_data["labels"], cfg.data.normalize_mean,
+        cfg.data.normalize_std)
+    tx, _ = make_optimizer(cfg)
+    state = init_train_state(
+        cfg, model, tx, jax.random.PRNGKey(1),
+        dict(batch_data, rendered_images=rendered, rendered_depths=depth,
+             rendered_masks=mask))
+    train_batch = dict(batch_data)  # synthetic_batch provides gt_* + ref_*
+
+    step = make_train_step(model, renderer, points, cfg, tx, donate=True)
+
+    # warm up / compile, then time (donated state: thread it through)
+    state, _ = step(state, train_batch)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, train_batch)
+    jax.block_until_ready(state.params)
+    t_full = (time.perf_counter() - t0) / steps
+
+    # phase attribution (independently jitted; bwd+opt by subtraction)
+    render_fn = jax.jit(lambda b: render_at_pose(
+        renderer, b["ref_rotations"], b["ref_translations"], b["k"],
+        b["labels"], cfg.data.normalize_mean, cfg.data.normalize_std))
+    full_batch = dict(train_batch, rendered_images=rendered,
+                      rendered_depths=depth, rendered_masks=mask)
+    fwd_fn = jax.jit(lambda p, bs, b: scflow_loss(
+        p, bs, b, model=model, points_bank=points, cfg=cfg, train=True)[0])
+    t_render = _timeit(render_fn, (train_batch,), steps)
+    t_fwd = _timeit(fwd_fn, (state.params, state.batch_stats, full_batch),
+                    steps)
+
+    step_nodonate = make_train_step(model, renderer, points, cfg, tx)
+    flops_step = _flops_of(lambda s, b: step_nodonate(s, b), state,
+                           train_batch)
+    return {
+        "steps_per_s": round(1.0 / t_full, 3),
+        "frames_per_s": round(batch / t_full, 2),
+        "batch": batch, "iters": iters, "dtype": dtype,
+        "phases_ms": {
+            "render": round(1e3 * t_render, 3),
+            "forward_loss": round(1e3 * t_fwd, 3),
+            "backward_optimizer": round(
+                1e3 * max(t_full - t_render - t_fwd, 0.0), 3),
+            "full": round(1e3 * t_full, 3),
+        },
+        "gflops_per_step": round(flops_step / 1e9, 2) if flops_step else None,
+        "tflops": flops_step / 1e12 / t_full if flops_step else None,
+    }
+
+
+def bench_eval_pipeline(num_images=48, slot_budget=16, image_size=256,
+                        iters=8):
+    """The real test.py path end to end (readers → pack → device → host
+    ADD matching) over a generated synthetic BOP set: images/s + host
+    attribution (BASELINE config 2 protocol shape)."""
+    import numpy as np
+
+    from scflow_tpu.data.bop import RefineDataset
+    from scflow_tpu.data.loader import TestBatchBuilder
+    from scflow_tpu.metrics import ADDMetric
+    from scflow_tpu.rendering import Renderer, load_mesh_dir
+    from scflow_tpu.training import (Config, DataConfig, ModelConfig,
+                                     build_points_bank)
+    from scflow_tpu.training.evaluate import evaluate_dataset
+    from scflow_tpu.training.trainer import Trainer
+
+    root = tempfile.mkdtemp(prefix="benchbop_")
+    gen = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                      "make_synthetic_bop.py"),
+         "--out", root, "--num-images", str(num_images),
+         "--num-classes", "6", "--max-objects", "4"],
+        capture_output=True, text=True)
+    if gen.returncode != 0:
+        raise RuntimeError(f"make_synthetic_bop failed: {gen.stderr[-500:]}")
+
+    cfg = Config(model=ModelConfig(num_class=6, iters=iters,
+                                   test_iters=iters, dtype="bfloat16"),
+                 data=DataConfig(image_scale=image_size))
+    bank = load_mesh_dir(os.path.join(root, "models"))
+    renderer = Renderer(bank, image_size=(image_size, image_size))
+    points = build_points_bank(bank, num_points=1000)
+    trainer = Trainer(cfg, renderer, points)
+    trainer.init_eval_state(batch_size=slot_budget)
+
+    names = tuple(f"obj{i}" for i in range(6))
+    ds = RefineDataset(os.path.join(root, "test"),
+                       os.path.join(root, "init_poses"),
+                       os.path.join(root, "image_lists", "test.txt"),
+                       class_names=names)
+    mesh_points = [np.asarray(points.points[c]) for c in range(6)]
+    builder = TestBatchBuilder(ds, cfg, mesh_points)
+
+    host_ms = {"t": 0.0}
+
+    def make_metric():
+        metric = ADDMetric(points_per_class=mesh_points,
+                           diameters=np.asarray(points.diameters),
+                           class_names=names)
+        orig = metric.process
+
+        def timed(*a, **kw):
+            t0 = time.perf_counter()
+            out = orig(*a, **kw)
+            host_ms["t"] += time.perf_counter() - t0
+            return out
+
+        metric.process = timed
+        return metric
+
+    # pass 1: compile + page cache warm; pass 2: measured
+    evaluate_dataset(trainer, builder, make_metric(),
+                     slot_budget=slot_budget, progress_every=0)
+    host_ms["t"] = 0.0
+    t0 = time.perf_counter()
+    evaluate_dataset(trainer, builder, make_metric(),
+                     slot_budget=slot_budget, progress_every=0)
+    wall = time.perf_counter() - t0
+    return {
+        "images_per_s": round(num_images / wall, 2),
+        "num_images": num_images, "slot_budget": slot_budget,
+        "host_match_ms_per_image": round(1e3 * host_ms["t"] / num_images, 3),
+        "wall_ms_per_image": round(1e3 * wall / num_images, 3),
+    }
+
+
+def main(batch=32, iters=8, steps=10):
+    rows, phase_ms, flops_frame = bench_infer(batch=batch, iters=iters,
+                                              steps=steps)
     headline = max(rows.values())
-    dev = jax.devices()[0]
-    peak = _PEAK_TFLOPS.get(getattr(dev, "device_kind", ""), None)
+    peak, device_kind = _peak_tflops()
     achieved_tflops = (flops_frame * headline) / 1e12 if flops_frame else None
+
+    try:
+        train = bench_train(steps=steps)
+        if train.get("tflops") and peak:
+            train["achieved_tflops"] = round(train["tflops"], 2)
+            train["mfu"] = round(train["tflops"] / peak, 4)
+        train.pop("tflops", None)
+    except Exception as e:  # never lose the headline to a train-bench issue
+        train = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    try:
+        eval_pipe = bench_eval_pipeline(iters=iters)
+    except Exception as e:
+        eval_pipe = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "refinement_throughput",
         "value": round(headline, 2),
@@ -155,9 +345,11 @@ def main(batch=32, iters=8, image_size=(256, 256), num_class=21, steps=10):
         "gflops_per_frame": round(flops_frame / 1e9, 2) if flops_frame else None,
         "achieved_tflops": (round(achieved_tflops, 2)
                             if achieved_tflops else None),
-        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "device_kind": device_kind,
         "mfu": (round(achieved_tflops / peak, 4)
                 if (achieved_tflops and peak) else None),
+        "train": train,
+        "eval_pipeline": eval_pipe,
     }
     print(json.dumps(result))
 

@@ -318,6 +318,28 @@ def convert_torch_checkpoint(torch_state: dict, *,
     return {"params": c.params, "batch_stats": c.stats}
 
 
+def load_torch_checkpoint(path: str, variables: dict, *,
+                          separate_encoder: bool = False,
+                          family: str = "scflow") -> tuple[dict, dict]:
+    """Load a reference torch ``.pth`` file and merge it onto
+    model-initialized variables (the ``load_checkpoint`` step of the
+    reference eval protocol, configs/refine_models/scflow_ycbv_pbr.py:276-279
+    → tools/test.py): ``torch.load`` → :func:`convert_torch_checkpoint` →
+    :func:`merge_converted`. Returns ``(merged_variables, report)``.
+
+    Works on both raw ``state_dict`` files and full mmengine checkpoints
+    (``state_dict`` key unwrapped, ``module.`` prefixes stripped by
+    :func:`normalize_torch_state`).
+    """
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    converted = convert_torch_checkpoint(
+        normalize_torch_state(raw), separate_encoder=separate_encoder,
+        family=family)
+    return merge_converted(variables, converted)
+
+
 def merge_converted(variables: dict, converted: dict,
                     allow_missing: bool = True) -> tuple[dict, dict]:
     """Overlay converted weights onto model-initialized variables.

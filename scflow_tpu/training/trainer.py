@@ -91,6 +91,28 @@ class Trainer:
                       rendered_depths=depth, rendered_masks=mask)
         return self.init_state(sample, rng)
 
+    def load_torch_checkpoint(self, path: str) -> dict:
+        """Load a reference torch ``.pth`` into the live state (the
+        reference ``load_checkpoint=`` eval entry,
+        configs/refine_models/scflow_ycbv_pbr.py:276-279). Returns the
+        coverage report (covered/missing/unused leaf lists)."""
+        from .checkpoint import load_torch_checkpoint
+
+        assert self.state is not None, \
+            "call init_state/init_eval_state first (for the pytree shape)"
+        family = "raft" if self.cfg.model.family.startswith("raft") \
+            else "scflow"
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        merged, report = load_torch_checkpoint(
+            path, variables,
+            separate_encoder=self.cfg.model.separate_encoder, family=family)
+        self.state = self.state.replace(
+            params=merged["params"],
+            batch_stats=merged.get("batch_stats", self.state.batch_stats))
+        return report
+
     def resume(self, ckpt_dir: str | None = None, step: int | None = None):
         assert self.state is not None, "call init_state first (for the pytree shape)"
         ckpt_dir = ckpt_dir or os.path.join(self.cfg.work_dir, "checkpoints")

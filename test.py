@@ -15,6 +15,10 @@ def parse_args():
                    help="named recipe from scflow_tpu.configs; supplies the "
                         "test dataset paths unless overridden")
     p.add_argument("--checkpoint", required=False, default=None)
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference torch .pth (raw state_dict or mmengine "
+                        "checkpoint) — converted + merged into the eval "
+                        "state (the reference load_checkpoint= entry)")
     p.add_argument("--work-dir", default="work_dirs/scflow")
     p.add_argument("--data-root", default=None)
     p.add_argument("--ref-annots-root", default=None)
@@ -91,6 +95,12 @@ def main():
     trainer.init_eval_state(batch_size=args.slot_budget)
     if args.checkpoint:
         trainer.resume(args.checkpoint)
+    if args.torch_checkpoint:
+        report = trainer.load_torch_checkpoint(args.torch_checkpoint)
+        print(f"loaded torch checkpoint {args.torch_checkpoint}: "
+              f"{len(report['covered'])} leaves converted, "
+              f"{len(report['missing'])} kept at init "
+              f"(affine-less IN scale/bias etc.)")
 
     dataset = RefineDataset(args.data_root, args.ref_annots_root,
                             args.image_list, class_names=YCBV_CLASS_NAMES)
