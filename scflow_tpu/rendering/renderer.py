@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .mesh import MeshBank
 from .rasterizer import (interpolate_face_attributes, project_vertices,
                          rasterize, rasterize_binned)
-from .shading import PhongParams, phong_shade
+from .shading import PhongParams, phong_color, phong_shade, silhouette_alpha
 
 
 @dataclasses.dataclass
@@ -27,7 +27,8 @@ class Renderer:
     """Stateless batched renderer over a static MeshBank.
 
     Args mirroring the reference renderer config
-    (configs/refine_models/scflow_ycbv_pbr.py:258-271):
+    (configs/refine_models/scflow_ycbv_pbr.py:258-271 +
+    models/utils/rendering.py:77-120):
       mesh_bank: padded per-class meshes.
       image_size: (H, W).
       background_color: RGB in [0,1] (reference: (.5,.5,.5)).
@@ -36,6 +37,16 @@ class Renderer:
         light at the object-frame position (0, 1, 0).
       light_offset: distance subtracted from the object's min camera z for
         the light location (reference uses znear - 400, floored at 0).
+      shader_type: 'phong' (per-pixel, reference HardPhongShader — the
+        shipped default), 'gouraud' (shade at face vertices, interpolate
+        colors) or 'flat' (one color per face from its geometric normal),
+        the reference's shader_mapping surface (rendering.py:71-75).
+      render_image / render_mask: which outputs to produce (reference
+        rendering.py:232-248). ``render_mask`` adds a float ``masks``
+        output — hard coverage, or the SoftSilhouetteShader alpha when
+        ``soft_blending`` (sigmoid of signed squared NDC edge distance;
+        the shipped ``blur_radius=0``/``faces_per_pixel=1`` regime).
+      sigma: BlendParams.sigma for the soft silhouette (pytorch3d 1e-4).
     """
     mesh_bank: MeshBank
     image_size: tuple[int, int]
@@ -50,6 +61,11 @@ class Renderer:
     # 3D backface culling (normal · view direction). Exact-output 2× saving
     # for closed consistently-wound meshes; disable for open/flipped meshes.
     cull_backfaces: bool = True
+    shader_type: str = "phong"
+    render_image: bool = True
+    render_mask: bool = False
+    soft_blending: bool = False
+    sigma: float = 1e-4
 
     def __call__(self, rotations: jax.Array, translations: jax.Array,
                  k: jax.Array, labels: jax.Array) -> dict:
@@ -61,7 +77,9 @@ class Renderer:
           k: (N, 3, 3) intrinsics.
           labels: (N,) int class ids.
 
-        Returns dict(images (N,H,W,3), depth (N,H,W), mask (N,H,W) bool).
+        Returns dict(images (N,H,W,3), depth (N,H,W), mask (N,H,W) bool
+        [, masks (N,H,W) float silhouette when ``render_mask``]); images
+        present unless ``render_image=False``.
         """
         return _render(self, rotations, translations, k, labels)
 
@@ -101,32 +119,6 @@ def _render(self: Renderer, rotations, translations, k, labels):
                            tri_cam[:, 2] - tri_cam[:, 0])
             centroid = tri_cam.mean(axis=1)
             fvalid_i = fvalid_i & (jnp.sum(fn * centroid, axis=-1) < 0.0)
-        if rasterizer_kind == "pallas":
-            from ..ops.rasterize_fast import rasterize_fast
-
-            frag = rasterize_fast(None, None, faces_i, fvalid_i, h, w,
-                                  tri_attrs=tri_attr, interpret=interpret,
-                                  return_bary=False,
-                                  tri_xy=tri_xy, tri_z=tri_z)
-        elif rasterizer_kind == "binned":
-            # attributes interpolate inside the tile pass (no gathers)
-            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
-            frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w,
-                                    tri_attrs=tri_attr, return_bary=False)
-        else:
-            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
-            frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
-                             chunk=self.face_chunk)
-        mask = frag["face_id"] >= 0
-        if "attrs" in frag:
-            interp = frag["attrs"]
-        else:
-            # one packed row-gather for all per-vertex attributes
-            safe = jnp.maximum(frag["face_id"], 0)
-            rows = tri_attr[safe]                       # (H, W, 3, 9)
-            interp = jnp.einsum("hwk,hwkd->hwd", frag["bary"], rows)
-            interp = jnp.where(mask[..., None], interp, 0.0)
-        pts, nrm, alb = interp[..., 0:3], interp[..., 3:6], interp[..., 6:9]
 
         # camera center in the object frame: -Rᵀ t
         cam_obj = -r_i.T @ t_i
@@ -139,15 +131,83 @@ def _render(self: Renderer, rotations, translations, k, labels):
         else:
             light_obj = jnp.asarray([0.0, 1.0, 0.0], verts_i.dtype)
 
-        rgb = phong_shade(pts, nrm, alb, mask, light_obj, cam_obj,
-                          params=self.shading,
-                          background_color=self.background_color)
-        return rgb, frag["zbuf"], mask
+        # shader dispatch: what the rasterizer interpolates.
+        # phong   → geometry (pts+nrm+alb, 9 dims), shade per pixel
+        # gouraud → phong color at each face vertex (3 dims)
+        # flat    → one phong color per face from the geometric normal
+        if self.shader_type == "phong":
+            attr_table = tri_attr
+        elif self.shader_type == "gouraud":
+            attr_table = phong_color(
+                tri_attr[..., 0:3], tri_attr[..., 3:6], tri_attr[..., 6:9],
+                light_obj, cam_obj, params=self.shading)
+        elif self.shader_type == "flat":
+            fn_obj = jnp.cross(tri_pos_i[:, 1] - tri_pos_i[:, 0],
+                               tri_pos_i[:, 2] - tri_pos_i[:, 0])
+            face_color = phong_color(
+                tri_pos_i.mean(axis=1), fn_obj, tri_attr[..., 6:9].mean(axis=1),
+                light_obj, cam_obj, params=self.shading)
+            attr_table = jnp.tile(face_color[:, None, :], (1, 3, 1))
+        else:
+            raise ValueError(f"unknown shader_type {self.shader_type!r}")
 
-    images, depth, mask = jax.vmap(one)(verts, faces, face_valid, tri_pos,
-                                        tri_attr_all, rotations, translations,
-                                        k)
-    return {"images": images, "depth": depth, "mask": mask}
+        need_attrs = self.render_image
+        if rasterizer_kind == "pallas":
+            from ..ops.rasterize_fast import rasterize_fast
+
+            frag = rasterize_fast(None, None, faces_i, fvalid_i, h, w,
+                                  tri_attrs=attr_table if need_attrs else None,
+                                  interpret=interpret, return_bary=False,
+                                  tri_xy=tri_xy, tri_z=tri_z)
+        elif rasterizer_kind == "binned":
+            # attributes interpolate inside the tile pass (no gathers)
+            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
+            frag = rasterize_binned(xy, z, faces_i, fvalid_i, h, w,
+                                    tri_attrs=attr_table if need_attrs else None,
+                                    return_bary=False)
+        else:
+            xy, z = project_vertices(verts_i, r_i, t_i, k_i)
+            frag = rasterize(xy, z, faces_i, fvalid_i, h, w,
+                             chunk=self.face_chunk)
+        mask = frag["face_id"] >= 0
+
+        rgb = None
+        if self.render_image:
+            if "attrs" in frag:
+                interp = frag["attrs"]
+            else:
+                # one packed row-gather for all per-vertex attributes
+                safe = jnp.maximum(frag["face_id"], 0)
+                rows = attr_table[safe]                 # (H, W, 3, D)
+                interp = jnp.einsum("hwk,hwkd->hwd", frag["bary"], rows)
+                interp = jnp.where(mask[..., None], interp, 0.0)
+            if self.shader_type == "phong":
+                pts, nrm, alb = (interp[..., 0:3], interp[..., 3:6],
+                                 interp[..., 6:9])
+                rgb = phong_shade(pts, nrm, alb, mask, light_obj, cam_obj,
+                                  params=self.shading,
+                                  background_color=self.background_color)
+            else:
+                bg = jnp.asarray(self.background_color, interp.dtype)
+                rgb = jnp.clip(jnp.where(mask[..., None], interp, bg),
+                               0.0, 1.0)
+
+        sil = None
+        if self.render_mask:
+            sil = silhouette_alpha(frag["face_id"], tri_xy, (h, w),
+                                   sigma=self.sigma,
+                                   soft=self.soft_blending)
+        return rgb, frag["zbuf"], mask, sil
+
+    images, depth, mask, sil = jax.vmap(one)(
+        verts, faces, face_valid, tri_pos, tri_attr_all, rotations,
+        translations, k)
+    out = {"depth": depth, "mask": mask}
+    if images is not None:
+        out["images"] = images
+    if sil is not None:
+        out["masks"] = sil
+    return out
 
 
 # Renderer must hash as a static argument for jit.
