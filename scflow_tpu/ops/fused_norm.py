@@ -77,11 +77,33 @@ def _reference_in(x, scale, bias, eps):
     return y.astype(x.dtype)
 
 
+def _vmem_budget_bytes() -> int:
+    """Physical VMEM of the attached TPU generation (conservative).
+
+    v4/v5e/v5p/v6e cores carry 128 MiB of VMEM; older generations (v2/v3)
+    only 16 MiB — there the raised scoped-vmem cap below would lie to the
+    compiler, so the kernel is disabled entirely (XLA fallback).
+    """
+    global _VMEM_BYTES
+    if _VMEM_BYTES is None:
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:  # pragma: no cover - no backend
+            kind = ""
+        _VMEM_BYTES = (128 * 2 ** 20 if any(
+            g in kind for g in ("v4", "v5", "v6", "v7")) else 16 * 2 ** 20)
+    return _VMEM_BYTES
+
+
+_VMEM_BYTES = None
+
+
 def _instance_norm_fwd_impl(x, scale, bias, eps):
     n, h, w, c = x.shape
     hw = h * w
     if (not _ENABLED or jax.default_backend() != "tpu" or hw % 8 != 0
-            or hw * c * (x.dtype.itemsize + 6) > 12 * 2 ** 20):
+            or hw * c * (x.dtype.itemsize + 6) > 12 * 2 ** 20
+            or _vmem_budget_bytes() < 128 * 2 ** 20):
         return _reference_in(x, scale, bias, eps)
     chunks = 1
     rows = hw
@@ -105,8 +127,9 @@ def _instance_norm_fwd_impl(x, scale, bias, eps):
         out_shape=jax.ShapeDtypeStruct((n, chunks, rows, c), x.dtype),
         # the default 16 MiB scoped-vmem budget rejects the stem shape
         # (128·128·64 f32 ≈ 4 MiB block, double-buffered in+out ≈ 16 MiB);
-        # physical VMEM is 128 MiB, so raise the cap instead of shrinking
-        # the block — the size guard above already bounds the footprint.
+        # the generation gate above guarantees 128 MiB physical VMEM, so
+        # raise the cap instead of shrinking the block — the 12 MiB size
+        # guard bounds the actual footprint.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(xr, scale.reshape(1, c), bias.reshape(1, c))

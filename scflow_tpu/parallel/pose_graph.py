@@ -28,6 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..geometry.projection import depth_to_correspondences, pixel_grid
 from ..geometry.rotation import axis_angle_to_matrix
 
 
@@ -135,6 +136,81 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
     (r, t, cam_r, cam_t), _ = jax.lax.scan(step, init, None, length=iterations)
     return {"rotations": r, "translations": t,
             "camera_rotation": cam_r, "camera_translation": cam_t}
+
+
+@partial(jax.jit, static_argnames=("max_points", "iterations"))
+def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
+                         ref_translations, pred_rotations, pred_translations,
+                         k, object_valid, occlusion_threshold: float = 0.5,
+                         max_points: int = 512, iterations: int = 3,
+                         damping: float = 1e-3):
+    """Scene pose-graph refinement from refiner outputs (one image's objects).
+
+    Builds flow-derived 2D targets for every object of a scene — the
+    object-frame 3D point rendered at each foreground pixel of the
+    reference render (``depth``), displaced by the network's predicted
+    flow (*image evidence*, ``flow_from_pred``, not the pose-induced
+    flow) — then jointly refines all object poses plus the shared
+    per-scene camera correction with :func:`solve_pose_graph`, starting
+    from the per-object refined poses.
+
+    BASELINE extension (SURVEY §2.10): no reference counterpart — the
+    reference refines every object independently.
+
+    Args:
+      flow: (N, H, W, 2) predicted forward flow on the reference render.
+      occlusion: (N, H, W) visibility confidence in [0, 1], or None.
+      depth: (N, H, W) rendered depth at the reference pose.
+      ref_rotations/(N,3,3), ref_translations/(N,3): rendering pose.
+      pred_rotations/(N,3,3), pred_translations/(N,3): per-object refined
+        poses (the pose-graph initialization).
+      k: (3, 3) shared scene intrinsics.
+      object_valid: (N,) 0/1 mask for padded object slots.
+
+    Returns dict(rotations, translations, camera_rotation,
+    camera_translation), padded slots carrying their input poses.
+    """
+    flow = flow.astype(jnp.float32)
+    depth = depth.astype(jnp.float32)
+    n, h, w, _ = flow.shape
+    k_b = jnp.broadcast_to(k.astype(jnp.float32), (n, 3, 3))
+    _, points_3d, fg = depth_to_correspondences(depth, k_b, ref_rotations,
+                                                ref_translations)
+    target_2d = pixel_grid(h, w, flow.dtype)[None] + flow
+
+    valid = fg
+    if occlusion is not None:
+        valid = valid & (occlusion > occlusion_threshold)
+    vflat = valid.reshape(n, h * w).astype(flow.dtype)
+
+    # deterministic fixed-budget subsample of valid pixels (Gumbel top-k
+    # with a fixed key — eval must be reproducible)
+    gumbel = jax.random.gumbel(jax.random.PRNGKey(0), (n, h * w))
+    scores = jnp.where(vflat > 0, gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, max_points)
+    p3 = jnp.take_along_axis(points_3d.reshape(n, h * w, 3),
+                             idx[..., None], axis=1)
+    p2 = jnp.take_along_axis(target_2d.reshape(n, h * w, 2),
+                             idx[..., None], axis=1)
+    weights = jnp.take_along_axis(vflat, idx, axis=1)
+
+    # an object with too few valid points cannot anchor the shared camera;
+    # freeze it (weights 0 + object_valid 0 keeps its pose at the input)
+    enough = (jnp.sum(vflat, axis=-1) >= 16).astype(flow.dtype)
+    ov = object_valid.astype(flow.dtype) * enough
+    weights = weights * ov[:, None]
+
+    out = solve_pose_graph(p3, p2, pred_rotations, pred_translations, k,
+                           weights, object_valid=ov, damping=damping,
+                           iterations=iterations)
+    keep = ov[:, None, None] > 0
+    return {
+        "rotations": jnp.where(keep, out["rotations"], pred_rotations),
+        "translations": jnp.where(keep[..., 0], out["translations"],
+                                  pred_translations),
+        "camera_rotation": out["camera_rotation"],
+        "camera_translation": out["camera_translation"],
+    }
 
 
 def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,

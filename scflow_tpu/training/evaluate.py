@@ -98,10 +98,41 @@ def _prefetch_items(builder, indices, depth: int = 8):
         yield item
 
 
+def _pose_graph_refine(out: dict, batch: dict, start: int, n: int,
+                       budget: int) -> dict:
+    """Scene pose-graph pass for one packed image's object group.
+
+    Pads the group to ``budget`` slots (fixed shapes → one compile) and
+    jointly refines its poses with a shared camera correction on
+    flow-derived targets. Single-object images pass through unchanged —
+    with one object the camera block is pure gauge.
+    """
+    if n < 2:
+        return {}
+    from ..parallel.pose_graph import pose_graph_from_flow
+
+    idxs = np.concatenate([np.arange(start, start + n),
+                           np.full(budget - n, start, np.int64)])
+    valid = np.zeros(budget, np.float32)
+    valid[:n] = 1.0
+    pg = pose_graph_from_flow(
+        jnp.asarray(out["flow"][idxs]),
+        jnp.asarray(out["masks"][idxs, ..., 0]),
+        jnp.asarray(out["depth"][idxs]),
+        jnp.asarray(out["ref_rotations"][idxs]),
+        jnp.asarray(out["ref_translations"][idxs]),
+        jnp.asarray(out["rotations"][idxs]),
+        jnp.asarray(out["translations"][idxs]),
+        jnp.asarray(batch["k"][start]), jnp.asarray(valid))
+    return {"rotations": np.asarray(pg["rotations"][:n]),
+            "translations": np.asarray(pg["translations"][:n])}
+
+
 def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
                      limit: int | None = None, collect_results: bool = False,
                      progress_every: int = 50,
-                     progress: Callable = print) -> tuple[dict, list]:
+                     progress: Callable = print,
+                     pose_graph_metric=None) -> tuple[dict, list]:
     """Sharded, batched eval over a TestBatchBuilder.
 
     Packs images into ``slot_budget``-slot device batches (one compile, one
@@ -113,6 +144,13 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
     Multi-host: each process evaluates images ``process_index::count`` and
     the final records are gathered with ``allgather_results`` — replacing
     the reference's pickle funnels (tools/eval.py:143-216).
+
+    ``pose_graph_metric``: when given, images with ≥2 objects additionally
+    go through the scene pose-graph (shared camera correction + joint
+    object solves on flow-derived targets,
+    :func:`~scflow_tpu.parallel.pose_graph.pose_graph_from_flow`) and the
+    refined poses are accumulated into this second metric — the BASELINE
+    extension's with/without comparison (no reference counterpart).
     """
     total = len(builder) if limit is None else min(limit, len(builder))
     pidx, pcount = jax.process_index(), jax.process_count()
@@ -121,10 +159,14 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
     results = []
     n_images = 0
     packed = pack_eval_batches(_prefetch_items(builder, indices), slot_budget)
-    for batch, metas in packed:
-        out = trainer.predict({k: batch[k] for k in
-                               ("real_images", "ref_rotations",
-                                "ref_translations", "k", "labels")})
+    fetch = ("rotations", "translations", "pnp_valid")
+    if pose_graph_metric is not None:
+        fetch += ("flow", "masks", "depth", "ref_rotations",
+                  "ref_translations")
+
+    def consume(out_dev, batch, metas):
+        nonlocal n_images
+        out = {k: np.asarray(v) for k, v in out_dev.items()}
         for item, start, n in metas:
             pred = {"labels": np.asarray(item["labels"][:n]),
                     "rotations": out["rotations"][start:start + n],
@@ -138,9 +180,27 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
                       "rotations": item["gt_rotations"],
                       "translations": item["gt_translations"]}
                 metric.process(pred, gt, k=item["ori_k"])
+                if pose_graph_metric is not None:
+                    pg = _pose_graph_refine(out, batch, start, n, slot_budget)
+                    pose_graph_metric.process(dict(pred, **pg), gt,
+                                              k=item["ori_k"])
             n_images += 1
             if progress_every and n_images % progress_every == 0:
                 progress(f"[{n_images}/{len(indices)}]", flush=True)
+
+    # one-batch lag: dispatch batch k (async), then do the host work for
+    # batch k-1 (fetch + exact matching) while the device computes
+    pending = None
+    for batch, metas in packed:
+        out_dev = trainer.predict({k: batch[k] for k in
+                                   ("real_images", "ref_rotations",
+                                    "ref_translations", "k", "labels")},
+                                  keys=fetch, sync=False)
+        if pending is not None:
+            consume(*pending)
+        pending = (out_dev, batch, metas)
+    if pending is not None:
+        consume(*pending)
 
     if pcount > 1:
         merged = allgather_results(metric.records_arrays())

@@ -388,6 +388,9 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
                 "masks": (masks[-1] if masks is not None
                           else jnp.ones(flows[-1].shape[:-1] + (1,))),
                 "flow": flows[-1],
+                "depth": depth,
+                "ref_rotations": batch["ref_rotations"],
+                "ref_translations": batch["ref_translations"],
                 "pnp_valid": solved["valid"],
             }
         outputs = model.apply(variables, rendered, batch["real_images"],
@@ -400,6 +403,9 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
             "translations": outputs.translations[-1],
             "masks": outputs.masks[-1],
             "flow": outputs.flow_from_pred[-1],
+            "depth": depth,
+            "ref_rotations": batch["ref_rotations"],
+            "ref_translations": batch["ref_translations"],
         }
 
     return jax.jit(eval_step)

@@ -215,10 +215,37 @@ class Trainer:
         return self.state
 
     # -- evaluation -------------------------------------------------------
-    def predict(self, batch: dict) -> dict:
-        """Run refinement on one batch, returning numpy pose predictions."""
+    def predict(self, batch: dict, keys: tuple | None = None,
+                sync: bool = True) -> dict:
+        """Run refinement on one batch, returning numpy pose predictions.
+
+        ``keys`` selects which outputs to fetch to the host — by default
+        only the poses (+ ``pnp_valid`` when present). The dense outputs
+        (flow / masks / depth, ~1 MB/slot) stay on device unless asked
+        for: pulling them dominated eval wall-time (device→host transfer
+        was ~30× the refinement step itself).
+
+        ``sync=False`` returns the selected outputs as *device* arrays
+        without blocking — JAX dispatch is async, so the caller can keep
+        doing host work (packing the next batch, metric matching) while
+        the step runs, and materialize with ``np.asarray`` later.
+        """
         assert self.state is not None
+        if self.cfg.model.dtype == "bfloat16" and "real_images" in batch:
+            # the encoder's first conv casts to bf16 anyway — casting ON
+            # HOST before the host→device transfer halves its bytes (the
+            # images are the only dense input; over the single-chip
+            # tunnel the transfer, not the step, bounds eval)
+            import ml_dtypes
+
+            batch = dict(batch, real_images=np.asarray(
+                batch["real_images"]).astype(ml_dtypes.bfloat16))
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         out = self.eval_step(self.state.params, self.state.batch_stats, batch)
+        if keys is None:
+            keys = ("rotations", "translations", "pnp_valid")
+        out = {k: v for k, v in out.items() if k in keys}
+        if not sync:
+            return out
         return {k: np.asarray(v) for k, v in out.items()}

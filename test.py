@@ -33,6 +33,11 @@ def parse_args():
     p.add_argument("--slot-budget", type=int, default=16,
                    help="object slots per packed device batch (several "
                         "images share one batch; must divide the mesh)")
+    p.add_argument("--pose-graph", action="store_true",
+                   help="also run the scene pose-graph extension (shared "
+                        "per-image camera correction + joint object solves "
+                        "on flow-derived targets) and report ADD with and "
+                        "without it (BASELINE §2.10; no reference analogue)")
     p.add_argument("--exact-eval", action="store_true",
                    help="disable the low-res pose-flow eval fast path "
                         "(ModelConfig.lowres_eval) for exactness checks")
@@ -111,10 +116,17 @@ def main():
                        diameters=np.asarray(points.diameters),
                        symmetric_classes=tuple(symmetric),
                        class_names=YCBV_CLASS_NAMES)
+    pg_metric = None
+    if args.pose_graph:
+        pg_metric = ADDMetric(points_per_class=mesh_points,
+                              diameters=np.asarray(points.diameters),
+                              symmetric_classes=tuple(symmetric),
+                              class_names=YCBV_CLASS_NAMES)
     metrics, results = evaluate_dataset(
         trainer, builder, metric, slot_budget=args.slot_budget,
         limit=args.limit,
-        collect_results=bool(args.save_dir or args.format_only))
+        collect_results=bool(args.save_dir or args.format_only),
+        pose_graph_metric=pg_metric)
 
     if args.save_dir or args.format_only:
         save_dir = args.save_dir or f"{args.work_dir}/bop_results"
@@ -125,6 +137,17 @@ def main():
         for k in sorted(metrics):
             if k.startswith(("average/", "instance/")) or k == "num_instances":
                 print(f"{k}: {metrics[k]}")
+    if pg_metric is not None and not args.format_only:
+        pg_metrics = pg_metric.compute()
+        if pg_metrics:
+            print("\n== with scene pose-graph refinement ==")
+            print(format_metric_table(pg_metrics))
+            for k in sorted(pg_metrics):
+                if k.startswith("average/"):
+                    base = metrics.get(k)
+                    delta = (f"  (Δ {pg_metrics[k] - base:+.4f})"
+                             if isinstance(base, float) else "")
+                    print(f"{k}: {pg_metrics[k]}{delta}")
 
 
 if __name__ == "__main__":
