@@ -218,8 +218,23 @@ def corr_lookup_pm(pyramid_pm: list[jax.Array], flow: jax.Array,
         else:
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(
                 ty[:, None] - iy[None, :, None, None]))         # (N, Hl, K, P)
-        t1 = jnp.sum(corr[:, :, :, None, :] * wx[:, None], axis=2)
-        t2 = jnp.sum(t1[:, :, None] * wy[:, :, :, None], axis=1)
+        if corr.dtype == jnp.bfloat16:
+            # bf16 volume (prod path): quantize the bilinear weights to
+            # bf16 too so the tap contractions multiply bf16×bf16 with
+            # f32 accumulation — promoting the volume to f32 instead cost
+            # a dedicated ~1.6 ms/step convert pass over the level-0
+            # volume inside the GRU loop. Weight quantization error is
+            # ≤2⁻⁸ relative on weights in [0, 1] — far below the bf16
+            # volume's own rounding.
+            wx = wx.astype(jnp.bfloat16)
+            wy = wy.astype(jnp.bfloat16)
+            t1 = jnp.sum(corr[:, :, :, None, :] * wx[:, None], axis=2,
+                         dtype=jnp.float32)
+            t2 = jnp.sum(t1.astype(jnp.bfloat16)[:, :, None]
+                         * wy[:, :, :, None], axis=1, dtype=jnp.float32)
+        else:
+            t1 = jnp.sum(corr[:, :, :, None, :] * wx[:, None], axis=2)
+            t2 = jnp.sum(t1[:, :, None] * wy[:, :, :, None], axis=1)
         # t2: (N, Ky, Kx, P) → x-offset major like the reference
         out.append(jnp.swapaxes(t2, 1, 2).reshape(n, k * k, p))
     res = jnp.concatenate(out, axis=1)
