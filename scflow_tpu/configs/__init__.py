@@ -130,11 +130,15 @@ def scflow_ycbv_real() -> RecipeSpec:
 
 def scflow_ycbv_mixpbr() -> RecipeSpec:
     """Real + PBR mixed training (configs/refine_datasets/ycbv_mixpbr.py —
-    incl. RandomBackground(background_dir='data/coco', p=0.3), :49)."""
+    incl. RandomBackground(background_dir='data/coco', p=0.3), :49) +
+    object-paste occlusion (RandomOcclusionV2 behavior class,
+    color_transform.py:329-403; no shipped reference config enables it —
+    opt-in here for real-data robustness)."""
     return RecipeSpec(
         config=Config(work_dir="work_dirs/scflow_ycbv_mixpbr",
                       data=DataConfig(background_dir="data/coco",
                                       background_p=0.3,
+                                      occlusion_v2_p=0.3,
                                       min_visib_fract=0.2)),
         train_data=_ycbv_spec("train_real", min_visib_fract=0.2,
                               extra_roots=("data/ycbv/train_pbr",)),
@@ -154,6 +158,7 @@ def scflow_ycbv_mix20real() -> RecipeSpec:
         config=Config(work_dir="work_dirs/scflow_ycbv_mix20real",
                       data=DataConfig(background_dir="data/coco",
                                       background_p=0.3,
+                                      occlusion_v2_p=0.3,
                                       min_visib_fract=0.2)),
         train_data=spec,
         test_data=_ycbv_test_spec(),

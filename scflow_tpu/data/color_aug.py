@@ -84,30 +84,85 @@ def random_background(rng: np.random.Generator, img: np.ndarray,
 
 
 def random_occlusion(rng: np.random.Generator, img: np.ndarray,
-                     mask: np.ndarray, p=0.3, max_area=0.3) -> tuple:
-    """Paste a random rectangle occluder over the object
-    (simplified reference RandomOcclusion, color_transform.py:273-403).
-    Returns (image, updated visibility mask)."""
+                     mask: np.ndarray, p=0.3, size_range=(0.02, 0.7),
+                     ratio_range=(0.5, 2.0)) -> tuple:
+    """Noise-rectangle occluder (reference RandomOcclusion semantics,
+    color_transform.py:273-327): rectangle area ~ U(size_range)·bbox_area
+    with aspect ratio ~ U(ratio_range), centered uniformly inside the
+    object's bbox, filled with uniform random noise; occluded pixels are
+    removed from the visibility mask. Returns (image, updated mask)."""
     if rng.uniform() > p:
         return img, mask
     h, w = img.shape[:2]
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return img, mask
-    oh = int(rng.uniform(0.1, max_area) * (ys.max() - ys.min() + 1))
-    ow = int(rng.uniform(0.1, max_area) * (xs.max() - xs.min() + 1))
+    bx1, bx2 = xs.min(), xs.max() + 1
+    by1, by2 = ys.min(), ys.max() + 1
+    area = rng.uniform(*size_range) * (bx2 - bx1) * (by2 - by1)
+    ratio = rng.uniform(*ratio_range)
+    ow = int(np.sqrt(area * ratio))
+    oh = int(np.sqrt(area / ratio))
     if oh < 1 or ow < 1:
         return img, mask
-    cy = int(rng.integers(ys.min(), ys.max() + 1))
-    cx = int(rng.integers(xs.min(), xs.max() + 1))
-    y1, y2 = max(0, cy - oh // 2), min(h, cy + oh // 2 + 1)
-    x1, x2 = max(0, cx - ow // 2), min(w, cx + ow // 2 + 1)
+    cx = rng.uniform(bx1, bx2)
+    cy = rng.uniform(by1, by2)
+    x1 = int(np.clip(cx - ow / 2 + 0.5, 0, w - 1))
+    x2 = int(np.clip(cx + ow / 2 + 0.5, 0, w - 1))
+    y1 = int(np.clip(cy - oh / 2 + 0.5, 0, h - 1))
+    y2 = int(np.clip(cy + oh / 2 + 0.5, 0, h - 1))
     out = img.copy()
     out[y1:y2, x1:x2] = rng.integers(0, 256, (y2 - y1, x2 - x1, 3),
                                      dtype=np.uint8)
     new_mask = mask.copy()
     new_mask[y1:y2, x1:x2] = False
     return out, new_mask
+
+
+def random_occlusion_v2(rng: np.random.Generator, img: np.ndarray,
+                        mask: np.ndarray, occluder_img: np.ndarray,
+                        occluder_mask: np.ndarray, p=1.0,
+                        scale_range=(0.5, 1.0),
+                        rotate_range=(-45, 45)) -> tuple:
+    """Object-paste occluder (reference RandomOcclusionV2 behavior class,
+    color_transform.py:329-403): warp another object's image patch — scaled
+    so its visible area matches the target object's (jittered by
+    ``scale_range``), rotated by ~U(rotate_range) degrees, translated so
+    its center lands uniformly inside the target's bbox — then composite
+    it over the image where the occluder is foreground and remove those
+    pixels from the visibility mask.
+
+    The reference sources occluders from a pre-rendered image list with
+    black background; here the occluder is any (patch, mask) pair — the
+    train loader feeds crops of *other objects* from recent samples.
+    Returns (image, updated mask).
+    """
+    if rng.uniform() > p:
+        return img, mask
+    cv2 = _cv2()
+    h, w = img.shape[:2]
+    oys, oxs = np.nonzero(occluder_mask)
+    tys, txs = np.nonzero(mask)
+    if len(oys) == 0 or len(tys) == 0:
+        return img, mask
+    ocx = (oxs.min() + oxs.max()) / 2.0
+    ocy = (oys.min() + oys.max()) / 2.0
+    # area-matched scale, jittered
+    scale = float(np.sqrt(mask.sum() / max(occluder_mask.sum(), 1)))
+    scale *= rng.uniform(*scale_range)
+    angle = float(rng.uniform(*rotate_range))
+    m = cv2.getRotationMatrix2D((float(ocx), float(ocy)), angle=angle,
+                                scale=scale)
+    # translate the occluder center to a uniform point inside the bbox
+    m[0, 2] += rng.uniform(txs.min(), txs.max() + 1) - ocx
+    m[1, 2] += rng.uniform(tys.min(), tys.max() + 1) - ocy
+    occ = cv2.warpAffine(occluder_img, m, (w, h), flags=cv2.INTER_LINEAR,
+                         borderValue=(0, 0, 0))
+    fg = cv2.warpAffine(occluder_mask.astype(np.uint8), m, (w, h),
+                        flags=cv2.INTER_NEAREST, borderValue=0).astype(bool)
+    out = img.copy()
+    out[fg] = occ[fg]
+    return out, (mask & ~fg)
 
 
 def default_train_augs(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:

@@ -54,6 +54,12 @@ class TrainBatchBuilder:
                 self._bg_paths += glob.glob(
                     osp.join(cfg.data.background_dir, ext))
             self._bg_paths.sort()
+        # occluder reservoir for object-paste occlusion (RandomOcclusionV2
+        # behavior): recent samples' pre-augmentation (patch, mask) pairs
+        # serve as occluders for later samples (the reference draws from a
+        # pre-rendered occluder-image list — same behavior class)
+        self._occluder_pool: list[tuple[np.ndarray, np.ndarray]] = []
+        self._occluder_pool_size = 16
 
     def _load_background(self) -> np.ndarray | None:
         from .bop import _imread
@@ -103,6 +109,24 @@ class TrainBatchBuilder:
             if bg is not None:
                 patch = random_background(self.rng, patch, mask_patch,
                                           [bg], p=1.1)
+        if d.occlusion_v2_p > 0:
+            from .color_aug import random_occlusion_v2
+
+            # stash this crop as a future occluder BEFORE occluding it
+            # (occluders must be clean object views), then paste one
+            if mask_patch.any():
+                pool = self._occluder_pool
+                entry = (patch.copy(), mask_patch.copy())
+                if len(pool) < self._occluder_pool_size:
+                    pool.append(entry)
+                else:
+                    pool[int(self.rng.integers(len(pool)))] = entry
+            if self._occluder_pool:
+                occ_img, occ_mask = self._occluder_pool[
+                    int(self.rng.integers(len(self._occluder_pool)))]
+                patch, mask_patch = random_occlusion_v2(
+                    self.rng, patch, mask_patch, occ_img, occ_mask,
+                    p=d.occlusion_v2_p)
         if d.occlusion_p > 0:
             from .color_aug import random_occlusion
 

@@ -80,9 +80,10 @@ def _reference_in(x, scale, bias, eps):
 def _vmem_budget_bytes() -> int:
     """Physical VMEM of the attached TPU generation (conservative).
 
-    v4/v5e/v5p/v6e cores carry 128 MiB of VMEM; older generations (v2/v3)
-    only 16 MiB — there the raised scoped-vmem cap below would lie to the
-    compiler, so the kernel is disabled entirely (XLA fallback).
+    v5e/v5p/v6e cores carry 128 MiB of VMEM; v4 only ~32 MiB (its 128 MiB
+    is CMEM, not VMEM) and v2/v3 ~16 MiB — on those the raised scoped-vmem
+    cap below would lie to the compiler, so the kernel is disabled entirely
+    (XLA fallback).
     """
     global _VMEM_BYTES
     if _VMEM_BYTES is None:
@@ -90,8 +91,12 @@ def _vmem_budget_bytes() -> int:
             kind = jax.devices()[0].device_kind.lower()
         except Exception:  # pragma: no cover - no backend
             kind = ""
-        _VMEM_BYTES = (128 * 2 ** 20 if any(
-            g in kind for g in ("v4", "v5", "v6", "v7")) else 16 * 2 ** 20)
+        if any(g in kind for g in ("v5", "v6", "v7", "7x")):
+            _VMEM_BYTES = 128 * 2 ** 20
+        elif "v4" in kind:
+            _VMEM_BYTES = 32 * 2 ** 20
+        else:
+            _VMEM_BYTES = 16 * 2 ** 20
     return _VMEM_BYTES
 
 

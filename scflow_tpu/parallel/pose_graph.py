@@ -92,7 +92,10 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
       points: (N, P, 3) object-frame points per object.
       target_2d: (N, P, 2) observed pixel targets (e.g. flow-displaced).
       rotations/(N,3,3), translations/(N,3): current object poses.
-      k: (3, 3) shared intrinsics.
+      k: (3, 3) shared intrinsics, or (N, 3, 3) per-object intrinsics —
+        test-time objects of one image are cropped independently, so each
+        carries its own ``adapt_intrinsic`` K (data/loader.py); the camera
+        correction acts in camera frame (before K) and stays shared.
       weights: (N, P) per-point confidence (0 disables).
       object_valid: (N,) 0/1 mask for padded object slots.
 
@@ -102,6 +105,7 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
     """
     n = points.shape[0]
     ov = jnp.ones((n,)) if object_valid is None else object_valid
+    k_b = jnp.broadcast_to(k, (n, 3, 3))
 
     def apply_cam(dc, r, t):
         dr = axis_angle_to_matrix(dc[:3])
@@ -112,8 +116,9 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
         r, t, cam_r, cam_t = carry
         # camera step: reduced system summed over all objects
         h_ii, _, b_i = jax.vmap(
-            lambda p, o, rr, tt, w: _gn_blocks(p, o, rr, tt, k, w, damping)
-        )(points, target_2d, r, t, weights)
+            lambda p, o, rr, tt, kk, w: _gn_blocks(p, o, rr, tt, kk, w,
+                                                   damping)
+        )(points, target_2d, r, t, k_b, weights)
         h_c = jnp.sum(h_ii * ov[:, None, None], axis=0)
         b_c = jnp.sum(b_i * ov[:, None], axis=0)
         delta_c = jnp.linalg.solve(h_c + damping * jnp.eye(6), b_c)
@@ -123,8 +128,9 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
 
         # object step: local solves at the corrected camera
         h_ii, _, b_i = jax.vmap(
-            lambda p, o, rr, tt, w: _gn_blocks(p, o, rr, tt, k, w, damping)
-        )(points, target_2d, r, t, weights)
+            lambda p, o, rr, tt, kk, w: _gn_blocks(p, o, rr, tt, kk, w,
+                                                   damping)
+        )(points, target_2d, r, t, k_b, weights)
         delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
         delta_p = delta_p * ov[:, None]
         dr = axis_angle_to_matrix(delta_p[:, :3])
@@ -164,7 +170,9 @@ def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
       ref_rotations/(N,3,3), ref_translations/(N,3): rendering pose.
       pred_rotations/(N,3,3), pred_translations/(N,3): per-object refined
         poses (the pose-graph initialization).
-      k: (3, 3) shared scene intrinsics.
+      k: (3, 3) shared scene intrinsics, or (N, 3, 3) per-object crop
+        intrinsics (the real eval path: each object's crop folds its own
+        transform into K via adapt_intrinsic, data/loader.py).
       object_valid: (N,) 0/1 mask for padded object slots.
 
     Returns dict(rotations, translations, camera_rotation,
@@ -200,7 +208,7 @@ def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
     ov = object_valid.astype(flow.dtype) * enough
     weights = weights * ov[:, None]
 
-    out = solve_pose_graph(p3, p2, pred_rotations, pred_translations, k,
+    out = solve_pose_graph(p3, p2, pred_rotations, pred_translations, k_b,
                            weights, object_valid=ov, damping=damping,
                            iterations=iterations)
     keep = ov[:, None, None] > 0
@@ -217,11 +225,16 @@ def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
                              weights, mesh, axis_name: str = "data",
                              damping: float = 1e-3, iterations: int = 3):
     """Distributed variant: objects sharded over the mesh's data axis; the
-    Schur reductions become psums, back-substitution stays shard-local."""
-    from jax.experimental.shard_map import shard_map
+    Schur reductions become psums, back-substitution stays shard-local.
+    ``k`` may be (3, 3) shared or (N, 3, 3) per-object (sharded with the
+    objects)."""
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(pts, tgt, r, t, w):
+    n = points.shape[0]
+    k_b = jnp.broadcast_to(k, (n, 3, 3))
+
+    def local(pts, tgt, r, t, kk, w):
         def apply_cam(dc, rr, tt):
             dr = axis_angle_to_matrix(dc[:3])
             return (jnp.einsum("ij,njk->nik", dr, rr),
@@ -230,8 +243,9 @@ def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
         def step(carry, _):
             rr, tt = carry
             h_ii, _, b_i = jax.vmap(
-                lambda p, o, a, b, ww: _gn_blocks(p, o, a, b, k, ww, damping)
-            )(pts, tgt, rr, tt, w)
+                lambda p, o, a, b, kx, ww: _gn_blocks(p, o, a, b, kx, ww,
+                                                      damping)
+            )(pts, tgt, rr, tt, kk, w)
             # global camera reductions over ALL objects: psum over the mesh
             h_c = jax.lax.psum(jnp.sum(h_ii, axis=0), axis_name)
             b_c = jax.lax.psum(jnp.sum(b_i, axis=0), axis_name)
@@ -239,8 +253,9 @@ def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
             rr, tt = apply_cam(delta_c, rr, tt)
 
             h_ii, _, b_i = jax.vmap(
-                lambda p, o, a, b, ww: _gn_blocks(p, o, a, b, k, ww, damping)
-            )(pts, tgt, rr, tt, w)
+                lambda p, o, a, b, kx, ww: _gn_blocks(p, o, a, b, kx, ww,
+                                                      damping)
+            )(pts, tgt, rr, tt, kk, w)
             delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
             dr = axis_angle_to_matrix(delta_p[:, :3])
             rr = jnp.einsum("nij,njk->nik", dr, rr)
@@ -252,7 +267,8 @@ def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis_name), P(axis_name), P(axis_name),
-                             P(axis_name), P(axis_name)),
+                             P(axis_name), P(axis_name), P(axis_name)),
                    out_specs=(P(axis_name), P(axis_name)))
-    r_out, t_out = fn(points, target_2d, rotations, translations, weights)
+    r_out, t_out = fn(points, target_2d, rotations, translations, k_b,
+                      weights)
     return {"rotations": r_out, "translations": t_out}

@@ -128,6 +128,11 @@ class DataConfig:
     background_dir: str | None = None
     background_p: float = 0.3
     occlusion_p: float = 0.0
+    # object-paste occlusion (reference RandomOcclusionV2,
+    # color_transform.py:329-403): paste another object's warped crop over
+    # the target and update visibility; occluders come from a reservoir of
+    # recent samples' (patch, mask) pairs in the train builder
+    occlusion_v2_p: float = 0.0
 
 
 @dataclasses.dataclass

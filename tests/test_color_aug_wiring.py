@@ -105,3 +105,85 @@ class TestOcclusionWiring:
             cfg = get_recipe(name).config
             assert cfg.data.background_dir == "data/coco"
             assert cfg.data.background_p == 0.3
+            assert cfg.data.occlusion_v2_p == 0.3
+
+
+class TestOcclusionV2:
+    """Object-paste occlusion (reference RandomOcclusionV2 behavior class,
+    color_transform.py:329-403)."""
+
+    def test_paste_updates_image_and_mask(self):
+        from scflow_tpu.data.color_aug import random_occlusion_v2
+
+        rng = np.random.default_rng(0)
+        img = np.zeros((96, 96, 3), np.uint8)
+        mask = np.zeros((96, 96), bool)
+        mask[30:70, 30:70] = True           # target object: 40x40 square
+        img[mask] = (200, 0, 0)
+        occ_img = np.zeros((96, 96, 3), np.uint8)
+        occ_mask = np.zeros((96, 96), bool)
+        occ_mask[10:40, 10:40] = True       # occluder: 30x30 square
+        occ_img[occ_mask] = (0, 255, 0)
+
+        changed = 0
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            out, new_mask = random_occlusion_v2(rng, img, mask, occ_img,
+                                                occ_mask, p=1.0)
+            # mask only ever shrinks; occluded pixels leave visibility
+            assert not (new_mask & ~mask).any()
+            # pasted pixels carry occluder content (green channel), and the
+            # visibility lost matches where the occluder landed on the mask
+            # (up to warp edge pixels: the image warps INTER_LINEAR, the
+            # mask INTER_NEAREST — reference does the same split)
+            pasted = (out[..., 1] > 200)
+            if pasted.any():
+                lost = mask & ~new_mask
+                agree = (lost == (mask & pasted)).mean()
+                assert agree > 0.99
+            changed += int((new_mask.sum() < mask.sum()))
+        # occluder center lands inside the target bbox and its area is
+        # scaled to ~the object's: at p=1 most draws must actually occlude
+        assert changed >= 6
+
+    def test_area_matched_scale(self):
+        """The pasted occluder's area is ~U(0.5,1.0)× the target's."""
+        from scflow_tpu.data.color_aug import random_occlusion_v2
+
+        img = np.zeros((128, 128, 3), np.uint8)
+        mask = np.zeros((128, 128), bool)
+        mask[40:90, 40:90] = True
+        occ_img = np.full((128, 128, 3), (0, 255, 0), np.uint8)
+        occ_mask = np.zeros((128, 128), bool)
+        occ_mask[60:70, 60:70] = True       # tiny occluder → big upscale
+        ratios = []
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            out, _ = random_occlusion_v2(rng, img, mask, occ_img, occ_mask,
+                                         p=1.0, rotate_range=(0, 0))
+            pasted = (out[..., 1] > 200).sum()
+            if pasted:
+                ratios.append(pasted / mask.sum())
+        # in-frame pastes should be near the area-matched window (clipping
+        # at the frame border can only shrink them)
+        assert ratios and max(ratios) > 0.35 and min(ratios) <= 1.05
+
+    def test_builder_reservoir_wiring(self, minibop):
+        """occlusion_v2_p>0: the builder stashes clean crops and pastes
+        them; masks shrink vs the unoccluded stream."""
+        b_occ = _builder(minibop, occlusion_v2_p=1.0)
+        b_raw = _builder(minibop)
+        item = b_raw.dataset[0]
+        assert item is not None
+        # prime the reservoir with one clean crop
+        b_occ._prep_object(item, 0)
+        assert len(b_occ._occluder_pool) >= 1
+        shrunk = 0
+        for seed in range(6):
+            b_raw.rng = np.random.default_rng(seed)
+            b_occ.rng = np.random.default_rng(seed)
+            raw = b_raw._prep_object(item, 0)["gt_masks"] > 0.5
+            occ = b_occ._prep_object(item, 0)["gt_masks"] > 0.5
+            assert occ.sum() <= raw.sum()
+            shrunk += int(occ.sum() < raw.sum())
+        assert shrunk >= 3

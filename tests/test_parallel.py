@@ -3,7 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from scflow_tpu.parallel import make_mesh
 from scflow_tpu.parallel.collect import (MetricAccumulator, allgather_results,

@@ -71,6 +71,48 @@ class TestPoseGraph:
                               gt_r[:3], gt_t[:3])
         assert ang < 0.1 and dt < 1.0
 
+    def test_per_object_intrinsics(self):
+        """Objects cropped independently carry distinct Ks (adapt_intrinsic
+        folds each crop transform into its own K) — the solver must use the
+        full (N, 3, 3) stack, not slot 0's K broadcast to everyone."""
+        rng = np.random.default_rng(3)
+        n_objects, n_points = 4, 80
+        points = jnp.asarray(rng.uniform(-40, 40, (n_objects, n_points, 3)),
+                             jnp.float32)
+        gt_r = random_rotation(jax.random.PRNGKey(3), (n_objects,))
+        gt_t = jnp.asarray(
+            np.stack([rng.uniform(-60, 60, n_objects),
+                      rng.uniform(-60, 60, n_objects),
+                      rng.uniform(700, 1100, n_objects)], -1), jnp.float32)
+        # distinct crop intrinsics: different focal scales + principal points
+        ks = jnp.asarray(np.stack([
+            [[500. * s, 0., cx], [0., 500. * s, cy], [0., 0., 1.]]
+            for s, cx, cy in zip(rng.uniform(0.6, 1.8, n_objects),
+                                 rng.uniform(80, 200, n_objects),
+                                 rng.uniform(80, 200, n_objects))
+        ]), jnp.float32)
+        target = jax.vmap(lambda p, kk, r, t: project_points(p, kk, r, t)[0])(
+            points, ks, gt_r, gt_t)
+        cam_dr = axis_angle_to_matrix(jnp.asarray([0.02, -0.015, 0.01]))
+        cam_dt = jnp.asarray([8., -5., 15.])
+        init_r = jnp.einsum("ij,njk->nik", cam_dr, gt_r)
+        init_t = jnp.einsum("ij,nj->ni", cam_dr, gt_t) + cam_dt
+        w = jnp.ones((n_objects, n_points))
+
+        out = solve_pose_graph(points, target, init_r, init_t, ks, w,
+                               iterations=5)
+        ang, dt = pose_errors(out["rotations"], out["translations"],
+                              gt_r, gt_t)
+        assert ang < 0.05 and dt < 0.5
+
+        # broadcasting slot 0's K to all objects (the pre-fix behavior)
+        # must be measurably worse — it corrupts every other object
+        bad = solve_pose_graph(points, target, init_r, init_t, ks[0], w,
+                               iterations=5)
+        ang_bad, dt_bad = pose_errors(bad["rotations"], bad["translations"],
+                                      gt_r, gt_t)
+        assert ang_bad > 10 * max(ang, 1e-3) or dt_bad > 10 * max(dt, 1e-2)
+
     def test_sharded_matches_single_device(self):
         mesh = make_mesh()
         points, target, gt_r, gt_t, init_r, init_t, w = make_scene(

@@ -57,7 +57,7 @@ def main():
                       "unit": "devices", "platform": devices[0].platform}))
 
     # -- psum allreduce bandwidth ----------------------------------------
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     for size_mb in args.sizes_mb:
         elems = int(size_mb * 1e6 / 4)
