@@ -54,25 +54,46 @@ _PEAK_TFLOPS = {
 }
 
 
-def _timeit(fn, args, steps, repeats=2):
-    """Mean step time with a device sync EVERY step, best of ``repeats``.
+def _drain(out):
+    """Force completion of every dispatched execution.
 
-    Per-step ``block_until_ready`` makes the measurement robust against
-    async-dispatch artifacts (the r4 train row was ~20× optimistic — a
-    timing that syncs only once at the end can under-measure if the
-    readiness check resolves against the wrong buffer). Sync overhead is
-    ~0.2 ms/step — <2% of any phase measured here.
+    Materializes the SMALLEST output leaf to the host: a TPU executes its
+    launch queue in order, so one host read of the last execution's output
+    proves all prior executions finished. ``jax.block_until_ready`` is NOT
+    trusted here — on the remote-relay TPU platform it returns immediately
+    (measured 0.7 ms/step for a 51 ms step; the r4 train row's ~20×
+    optimism came exactly from a block_until_ready-terminated timing).
+    """
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    smallest = min(leaves, key=lambda a: getattr(a, "nbytes", 1 << 60))
+    np.asarray(smallest)
+
+
+def _timeit(fn, args, steps, repeats=2):
+    """Per-step time by SLOPE: (T(2n) − T(n)) / n.
+
+    Differencing two queue-drained wall times cancels the fixed
+    dispatch + drain-transfer latency (host reads through the relay have
+    ~0.1-2 s fixed cost, so neither per-step syncs nor a single
+    end-of-loop sync gives an honest mean at small n). Each T is the best
+    of ``repeats`` runs.
     """
     out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
+    _drain(out)
+
+    def run(n):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-            jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / steps)
-    return best
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _drain(o)
+        return time.perf_counter() - t0
+
+    t1 = min(run(steps) for _ in range(repeats))
+    t2 = min(run(2 * steps) for _ in range(repeats))
+    return max((t2 - t1) / steps, 1e-9)
 
 
 def _flops_of(fn, *args):
@@ -130,11 +151,14 @@ def bench_infer(batch=32, iters=8, image_size=(256, 256), num_class=21,
         rows[dtype] = batch / dt
 
         if dtype == "bfloat16":
-            # per-phase breakdown on the fast-path precision
-            render_fn = jax.jit(lambda b: render_at_pose(
+            # per-phase breakdown on the fast-path precision (mesh bank as
+            # a jit ARGUMENT — baked-constant programs compile 10-30x
+            # slower on the remote-compile TPU path)
+            bank_args = renderer.mesh_bank.with_tri_tables()
+            render_fn = jax.jit(lambda b, mb: render_at_pose(
                 renderer, b["ref_rotations"], b["ref_translations"],
                 b["k"], b["labels"], cfg.data.normalize_mean,
-                cfg.data.normalize_std))
+                cfg.data.normalize_std, mesh_bank=mb))
 
             def encode_fn(p, bs, rendered, real):
                 variables = {"params": p}
@@ -149,7 +173,7 @@ def bench_infer(batch=32, iters=8, image_size=(256, 256), num_class=21,
             corr_fn = jax.jit(lambda fr, fo: correlation_pyramid_pm(
                 fr, fo, num_levels=cfg.model.num_levels))
 
-            t_render = _timeit(render_fn, (batch_data,), steps)
+            t_render = _timeit(render_fn, (batch_data, bank_args), steps)
             t_encode = _timeit(encode_jit,
                                (params, batch_stats, rendered,
                                 batch_data["real_images"]), steps)
@@ -202,35 +226,43 @@ def bench_train(batch=16, iters=8, image_size=(256, 256), num_class=21,
              rendered_masks=mask))
     train_batch = dict(batch_data)  # synthetic_batch provides gt_* + ref_*
 
+    import numpy as np
+
     step = make_train_step(model, renderer, points, cfg, tx, donate=True)
 
     def time_full():
-        """Donated-state full-step timing, synced EVERY step on the metrics
-        (which depend on the gradients) and on the new params at the end of
-        each repeat — the state chain serializes any stragglers into the
-        next step, so no work escapes the measured window."""
+        """Donated-state full-step SLOPE timing: the state chain serializes
+        the steps; each window drains with a host read of the loss scalar
+        (block_until_ready is not trusted — see _drain), and
+        (T(2n) − T(n)) / n cancels the fixed drain latency."""
         nonlocal state
-        best = float("inf")
-        for _ in range(2):
+
+        def run(n):
+            nonlocal state
             t0 = time.perf_counter()
-            for _ in range(steps):
-                state, metrics = step(state, train_batch)
-                jax.block_until_ready(metrics["loss"])
-            jax.block_until_ready(state.params)
-            best = min(best, (time.perf_counter() - t0) / steps)
-        return best
+            m = None
+            for _ in range(n):
+                state, m = step(state, train_batch)
+            np.asarray(m["loss"])
+            return time.perf_counter() - t0
+
+        t1 = min(run(steps) for _ in range(2))
+        t2 = min(run(2 * steps) for _ in range(2))
+        return max((t2 - t1) / steps, 1e-9)
 
     # warm up / compile, then time
-    state, _ = step(state, train_batch)
-    jax.block_until_ready(state.params)
+    state, m0 = step(state, train_batch)
+    np.asarray(m0["loss"])
     t_full = time_full()
 
     # phase attribution, each phase independently jitted and synced:
     # render / forward-only / forward+backward (direct grad timing — NOT
     # by subtraction), optimizer = full − render − grad.
-    render_fn = jax.jit(lambda b: render_at_pose(
+    bank_args = renderer.mesh_bank.with_tri_tables()
+    render_fn = jax.jit(lambda b, mb: render_at_pose(
         renderer, b["ref_rotations"], b["ref_translations"], b["k"],
-        b["labels"], cfg.data.normalize_mean, cfg.data.normalize_std))
+        b["labels"], cfg.data.normalize_mean, cfg.data.normalize_std,
+        mesh_bank=mb))
     full_batch = dict(train_batch, rendered_images=rendered,
                       rendered_depths=depth, rendered_masks=mask)
     loss_fn = _loss_fn_for(model)
@@ -239,7 +271,7 @@ def bench_train(batch=16, iters=8, image_size=(256, 256), num_class=21,
     grad_fn = jax.jit(lambda p, bs, b: jax.grad(
         lambda pp: loss_fn(pp, bs, b, model=model, points_bank=points,
                            cfg=cfg, train=True)[0])(p))
-    t_render = _timeit(render_fn, (train_batch,), steps)
+    t_render = _timeit(render_fn, (train_batch, bank_args), steps)
     t_fwd = _timeit(fwd_fn, (state.params, state.batch_stats, full_batch),
                     steps)
     t_grad = _timeit(grad_fn, (state.params, state.batch_stats, full_batch),

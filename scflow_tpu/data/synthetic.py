@@ -48,14 +48,9 @@ def jitter_pose(key, rotations, translations, cfg: JitterConfig):
 
 
 @partial(jax.jit, static_argnames=("renderer", "batch_size", "jitter_cfg"))
-def synthetic_batch(key, renderer: Renderer, batch_size: int,
-                    jitter_cfg: JitterConfig = JitterConfig(),
-                    depth_range: tuple = (500.0, 900.0)):
-    """Generate one training batch entirely on device.
-
-    Returns the train-step batch dict: real_images (normalized to [0,1]
-    with the default 0/255 normalization), gt/ref poses, gt_masks, k, labels.
-    """
+def _synthetic_batch_impl(key, renderer: Renderer, batch_size: int,
+                          jitter_cfg: JitterConfig, depth_range: tuple,
+                          mesh_bank):
     h, w = renderer.image_size
     num_class = renderer.mesh_bank.num_classes
     k_pose, k_label, k_depth, k_xy, k_jit = jax.random.split(key, 5)
@@ -69,7 +64,7 @@ def synthetic_batch(key, renderer: Renderer, batch_size: int,
     gt_t = jnp.concatenate([xy, z[:, None]], axis=-1)
 
     k_intr = jnp.tile(default_intrinsics((h, w)), (batch_size, 1, 1))
-    real = renderer(gt_r, gt_t, k_intr, labels)
+    real = renderer(gt_r, gt_t, k_intr, labels, mesh_bank=mesh_bank)
     ref_r, ref_t = jitter_pose(k_jit, gt_r, gt_t, jitter_cfg)
 
     return {
@@ -82,3 +77,18 @@ def synthetic_batch(key, renderer: Renderer, batch_size: int,
         "k": k_intr,
         "labels": labels,
     }
+
+
+def synthetic_batch(key, renderer: Renderer, batch_size: int,
+                    jitter_cfg: JitterConfig = JitterConfig(),
+                    depth_range: tuple = (500.0, 900.0)):
+    """Generate one training batch entirely on device.
+
+    Returns the train-step batch dict: real_images (normalized to [0,1]
+    with the default 0/255 normalization), gt/ref poses, gt_masks, k,
+    labels. The mesh bank enters the jitted program as an argument (not as
+    baked constants — see Renderer.__call__).
+    """
+    return _synthetic_batch_impl(key, renderer, batch_size, jitter_cfg,
+                                 depth_range,
+                                 renderer.mesh_bank.with_tri_tables())

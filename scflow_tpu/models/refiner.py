@@ -133,10 +133,36 @@ class RAFTRefiner(nn.Module):
 
     def __call__(self, render_images, real_images, train: bool = False,
                  iters: int | None = None, sample_valid=None):
-        """Returns (flows (T, N, H, W, 2), occlusion masks (T, N, H, W, 1))."""
-        feat_render = self.render_encoder(render_images, train)
-        feat_real = self.real_encoder(real_images, train)
-        cxt = self.context(render_images, train, sample_valid)
+        """Returns (flows (T, N, H, W, 2), occlusion masks (T, N, H, W, 1)).
+
+        Multiview broadcast (reference RAFTRefinerFlowMask.extract_feat,
+        raft_refiner_flow_mask.py:86-116): either input may be a single
+        unbatched (H, W, 3) image — it is encoded ONCE and its features
+        broadcast against the other side's batch (one real image vs N
+        candidate renders, or one render vs N frames), so the encoder cost
+        is paid once per shared view instead of per pair.
+        """
+        multiview_real = real_images.ndim == 3
+        multiview_render = render_images.ndim == 3
+        assert not (multiview_real and multiview_render), \
+            "at most one side may be unbatched (multiview broadcast)"
+        if multiview_render:
+            n = real_images.shape[0]
+            feat_render = self.render_encoder(render_images[None], train)
+            cxt = self.context(render_images[None], train)
+            feat_render = jnp.broadcast_to(
+                feat_render, (n,) + feat_render.shape[1:])
+            cxt = jnp.broadcast_to(cxt, (n,) + cxt.shape[1:])
+        else:
+            feat_render = self.render_encoder(render_images, train)
+            cxt = self.context(render_images, train, sample_valid)
+        if multiview_real:
+            n = render_images.shape[0]
+            feat_real = self.real_encoder(real_images[None], train)
+            feat_real = jnp.broadcast_to(
+                feat_real, (n,) + feat_real.shape[1:])
+        else:
+            feat_real = self.real_encoder(real_images, train)
         h_feat, cxt_feat = jnp.split(cxt, [self.h_channels], axis=-1)
         h_feat = jnp.tanh(h_feat)
         cxt_feat = nn.relu(cxt_feat)

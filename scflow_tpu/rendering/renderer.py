@@ -68,7 +68,8 @@ class Renderer:
     sigma: float = 1e-4
 
     def __call__(self, rotations: jax.Array, translations: jax.Array,
-                 k: jax.Array, labels: jax.Array) -> dict:
+                 k: jax.Array, labels: jax.Array,
+                 mesh_bank: MeshBank | None = None) -> dict:
         """Render a batch.
 
         Args:
@@ -76,16 +77,38 @@ class Renderer:
           translations: (N, 3).
           k: (N, 3, 3) intrinsics.
           labels: (N,) int class ids.
+          mesh_bank: optional bank overriding ``self.mesh_bank`` — pass the
+            (pytree) bank as a traced ARGUMENT from enclosing jitted
+            programs so mesh data does not bake into each program as
+            multi-MB constants (2-8 min/compile on the remote-compile TPU
+            path). Callers at a jit boundary should thread
+            ``renderer.mesh_bank.with_tri_tables()`` through their own
+            argument list and pass it here.
 
         Returns dict(images (N,H,W,3), depth (N,H,W), mask (N,H,W) bool
         [, masks (N,H,W) float silhouette when ``render_mask``]); images
         present unless ``render_image=False``.
         """
-        return _render(self, rotations, translations, k, labels)
+        if mesh_bank is not None:
+            # direct (unjitted) impl: inside an enclosing jit this inlines
+            # with the bank as traced inputs; eagerly it dispatches op-by-op
+            # (use the default path for eager rendering instead)
+            rself = dataclasses.replace(self, mesh_bank=mesh_bank)
+            return _render_impl(rself, rotations, translations, k, labels)
+        # eager path: jit with the bank as an ARGUMENT too — the program
+        # is identical for every Renderer over same-shaped banks and
+        # carries no mesh constants
+        return _render(self, rotations, translations, k, labels,
+                       self.mesh_bank.with_tri_tables())
 
 
 @partial(jax.jit, static_argnames=("self",))
-def _render(self: Renderer, rotations, translations, k, labels):
+def _render(self: Renderer, rotations, translations, k, labels, mesh_bank):
+    rself = dataclasses.replace(self, mesh_bank=mesh_bank)
+    return _render_impl(rself, rotations, translations, k, labels)
+
+
+def _render_impl(self: Renderer, rotations, translations, k, labels):
     h, w = self.image_size
     verts, faces, face_valid, vert_normals, vert_colors = \
         self.mesh_bank.gather(labels)

@@ -147,6 +147,11 @@ class Config:
     checkpoint_interval: int = 10_000
     log_interval: int = 50
     work_dir: str = "work_dirs/scflow"
+    # mirror scalar logs + image panels into work_dir/tb as TensorBoard
+    # event files (reference TensorboardLoggerHook/TensorboardImgLoggerHook,
+    # models/utils/tensorboard_hook.py:87-120; jsonl + PNGs stay the
+    # primary contract — this is the drop-in TB view of the same data)
+    tensorboard: bool = True
 
 
 # YCB-V constants (reference configs/refine_models/scflow_ycbv_pbr.py:18-39)

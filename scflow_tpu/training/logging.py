@@ -37,18 +37,23 @@ def make_train_panel(real_image, rendered_image, gt_flow, pose_flow,
 
 
 class ImageLogger:
-    """Periodic image-panel logger (PNG + optional TensorBoard)."""
+    """Periodic image-panel logger (PNG + TensorBoard event file).
 
-    def __init__(self, work_dir: str, interval: int = 100):
+    The TB mirror uses the first-party event writer
+    (:class:`~scflow_tpu.utils.tb_writer.TBEventWriter`) — the reference's
+    TensorboardImgLoggerHook contract without a tensorflow/torch-TB import.
+    """
+
+    def __init__(self, work_dir: str, interval: int = 100,
+                 tensorboard: bool = True):
         self.image_dir = os.path.join(work_dir, "images")
         self.interval = interval
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        if tensorboard:
+            from ..utils.tb_writer import TBEventWriter
 
-            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
-        except ImportError:
-            pass
+            self._tb = TBEventWriter(os.path.join(work_dir, "tb"),
+                                     filename_suffix=".images")
 
     def should_log(self, step: int) -> bool:
         return (step + 1) % self.interval == 0
@@ -65,12 +70,14 @@ class ImageLogger:
 
             Image.fromarray(panel).save(path)
         if self._tb is not None:
-            self._tb.add_image(name, panel, step, dataformats="HWC")
+            self._tb.add_image(name, panel, step)
+            self._tb.flush()
 
     def log_scalars(self, step: int, scalars: dict):
         if self._tb is not None:
-            for k, v in scalars.items():
-                self._tb.add_scalar(k, float(v), step)
+            self._tb.add_scalars({k: float(v) for k, v in scalars.items()},
+                                 step)
+            self._tb.flush()
 
 
 def sequence_epe_report(seq_flow, gt_flow, valid=None, max_flow=400.0):

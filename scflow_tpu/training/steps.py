@@ -96,14 +96,17 @@ def init_train_state(cfg: Config, model, tx, rng, sample_batch) -> TrainState:
 
 
 def render_at_pose(renderer: Renderer, rotations, translations, k, labels,
-                   normalize_mean, normalize_std):
+                   normalize_mean, normalize_std, mesh_bank=None):
     """Render + normalize, returning model-ready inputs.
 
     Equivalent of format_data's render step (base_refiner.py:186-199):
     rendered RGB normalized with the dataset's mean/std (in 0-255 scale,
     applied to [0,1] images), depth, and mask = depth > 0.
+
+    ``mesh_bank``: pass the bank as a traced argument from enclosing jits
+    (keeps mesh data out of the program constants — see Renderer.__call__).
     """
-    out = renderer(rotations, translations, k, labels)
+    out = renderer(rotations, translations, k, labels, mesh_bank=mesh_bank)
     mean = jnp.asarray(normalize_mean, jnp.float32) / 255.0
     std = jnp.asarray(normalize_std, jnp.float32) / 255.0
     images = (out["images"] - mean) / std
@@ -235,13 +238,19 @@ def make_train_step(model: SCFlowRefiner, renderer: Renderer,
     """Build the jittable train step: batch carries raw poses; rendering
     happens on device inside the step. ``donate=True`` donates the input
     state buffers (use in the real training loop; keep False when the same
-    state object is reused, e.g. in tests)."""
+    state object is reused, e.g. in tests).
 
-    def train_step(state: TrainState, batch):
+    The mesh bank rides as a jit ARGUMENT (closed over by the returned
+    wrapper, not by the traced program) — constant-free programs compile
+    orders of magnitude faster on the remote-compile TPU path."""
+    bank = renderer.mesh_bank.with_tri_tables()
+
+    def train_step(state: TrainState, batch, mesh_bank):
         rendered, depth, mask = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],
-            cfg.data.normalize_mean, cfg.data.normalize_std)
+            cfg.data.normalize_mean, cfg.data.normalize_std,
+            mesh_bank=mesh_bank)
         full_batch = dict(batch, rendered_images=rendered,
                           rendered_depths=depth, rendered_masks=mask)
 
@@ -256,7 +265,12 @@ def make_train_step(model: SCFlowRefiner, renderer: Renderer,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch):
+        return jitted(state, batch, bank)
+
+    return step
 
 
 def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
@@ -269,12 +283,14 @@ def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
     """
     assert not isinstance(model, RAFTRefiner), \
         "multi-cycle training needs in-loop poses (SCFlow family only)"
+    bank = renderer.mesh_bank.with_tri_tables()
 
-    def one_cycle(state: TrainState, batch):
+    def one_cycle(state: TrainState, batch, mesh_bank):
         rendered, depth, mask = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],
-            cfg.data.normalize_mean, cfg.data.normalize_std)
+            cfg.data.normalize_mean, cfg.data.normalize_std,
+            mesh_bank=mesh_bank)
         full = dict(batch, rendered_images=rendered, rendered_depths=depth,
                     rendered_masks=mask)
         grad_fn = jax.value_and_grad(scflow_loss, has_aux=True)
@@ -289,10 +305,10 @@ def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
         new_ref_t = jax.lax.stop_gradient(outputs.translations[-1])
         return state, metrics, new_ref_r, new_ref_t
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, mesh_bank):
         all_metrics = []
         for _ in range(cycles):
-            state, metrics, ref_r, ref_t = one_cycle(state, batch)
+            state, metrics, ref_r, ref_t = one_cycle(state, batch, mesh_bank)
             batch = dict(batch, ref_rotations=ref_r, ref_translations=ref_t)
             all_metrics.append(metrics)
         merged = {f"cycle{i}_loss": m["loss"]
@@ -300,7 +316,8 @@ def make_multi_cycle_train_step(model: SCFlowRefiner, renderer: Renderer,
         merged.update(all_metrics[-1])
         return state, merged
 
-    return jax.jit(train_step)
+    jitted = jax.jit(train_step)
+    return lambda state, batch: jitted(state, batch, bank)
 
 
 def make_panel_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
@@ -315,12 +332,14 @@ def make_panel_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     max_flow = cfg.model.max_flow
     mean = jnp.asarray(cfg.data.normalize_mean, jnp.float32) / 255.0
     std = jnp.asarray(cfg.data.normalize_std, jnp.float32) / 255.0
+    bank = renderer.mesh_bank.with_tri_tables()
 
-    def panel_step(params, batch_stats, batch):
+    def panel_step(params, batch_stats, batch, mesh_bank):
         rendered, depth, rmask = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],
-            cfg.data.normalize_mean, cfg.data.normalize_std)
+            cfg.data.normalize_mean, cfg.data.normalize_std,
+            mesh_bank=mesh_bank)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -351,21 +370,21 @@ def make_panel_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
             "epe_per_iter": epe,
         }
 
-    return jax.jit(panel_step)
+    jitted = jax.jit(panel_step)
+    return lambda params, batch_stats, batch: jitted(params, batch_stats,
+                                                     batch, bank)
 
 
-def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
-    """Inference step: render at ref pose, refine, return last-iter pose.
+def _eval_step_core(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
+    """Unjitted eval-step body taking the mesh bank as an argument
+    (compose-able: multi-pass wraps it without re-baking constants)."""
 
-    (Pose remapping back to the original image happens host-side in the
-    eval loop, like the reference's remap_pose_to_origin_resoluaion.)
-    """
-
-    def eval_step(params, batch_stats, batch):
+    def eval_step(params, batch_stats, batch, mesh_bank):
         rendered, depth, _ = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],
-            cfg.data.normalize_mean, cfg.data.normalize_std)
+            cfg.data.normalize_mean, cfg.data.normalize_std,
+            mesh_bank=mesh_bank)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -408,21 +427,37 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
             "ref_translations": batch["ref_translations"],
         }
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
+    """Inference step: render at ref pose, refine, return last-iter pose.
+
+    (Pose remapping back to the original image happens host-side in the
+    eval loop, like the reference's remap_pose_to_origin_resoluaion.)
+    """
+    core = _eval_step_core(model, renderer, cfg)
+    bank = renderer.mesh_bank.with_tri_tables()
+    jitted = jax.jit(core)
+    return lambda params, batch_stats, batch: jitted(params, batch_stats,
+                                                     batch, bank)
 
 
 def make_multi_pass_eval_step(model: SCFlowRefiner, renderer: Renderer,
                               cfg: Config, passes: int = 2):
     """Multi-pass inference: refine, re-render at the refined pose, refine
     again (reference forward_multiple_pass, base_refiner.py:283-294)."""
-    single = make_eval_step(model, renderer, cfg)
+    core = _eval_step_core(model, renderer, cfg)
+    bank = renderer.mesh_bank.with_tri_tables()
 
-    def eval_step(params, batch_stats, batch):
+    def eval_step(params, batch_stats, batch, mesh_bank):
         out = None
         for _ in range(passes):
-            out = single(params, batch_stats, batch)
+            out = core(params, batch_stats, batch, mesh_bank)
             batch = dict(batch, ref_rotations=out["rotations"],
                          ref_translations=out["translations"])
         return out
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+    return lambda params, batch_stats, batch: jitted(params, batch_stats,
+                                                     batch, bank)

@@ -120,6 +120,18 @@ class Trainer:
         return self.state
 
     # -- logging ----------------------------------------------------------
+    @property
+    def tb_writer(self):
+        """Lazy TensorBoard event writer (None when cfg.tensorboard=False)."""
+        if not self.cfg.tensorboard:
+            return None
+        if getattr(self, "_tb_writer", None) is None:
+            from ..utils.tb_writer import TBEventWriter
+
+            self._tb_writer = TBEventWriter(
+                os.path.join(self.cfg.work_dir, "tb"))
+        return self._tb_writer
+
     def _log(self, record: dict):
         os.makedirs(self.cfg.work_dir, exist_ok=True)
         if self._log_file is None:
@@ -127,6 +139,12 @@ class Trainer:
                 os.path.join(self.cfg.work_dir, "train_log.jsonl"), "a")
         self._log_file.write(json.dumps(record) + "\n")
         self._log_file.flush()
+        tb = self.tb_writer
+        if tb is not None and "step" in record:
+            tb.add_scalars({k: v for k, v in record.items()
+                            if k != "step" and isinstance(v, (int, float))},
+                           int(record["step"]))
+            tb.flush()
         msg = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                        for k, v in record.items())
         print(msg, flush=True)

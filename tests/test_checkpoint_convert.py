@@ -20,6 +20,7 @@ from scflow_tpu.training.checkpoint import (convert_torch_checkpoint,
                                             merge_converted)
 
 
+@pytest.mark.slow
 def test_converted_checkpoint_loads_into_built_model(rng):
     n, h, w = 1, 64, 64
     _, sd = build_reference_scflow_model(num_class=3, iters=2,

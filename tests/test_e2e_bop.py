@@ -8,6 +8,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast lane: see conftest)
+
 ROOT = Path(__file__).resolve().parent.parent
 
 

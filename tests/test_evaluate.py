@@ -87,6 +87,7 @@ def eval_setup(minibop):
     return cfg, renderer, points, trainer, builder, mesh_points
 
 
+@pytest.mark.slow
 class TestShardedEval:
     def _metric(self, mesh_points, points):
         from scflow_tpu.metrics import ADDMetric
@@ -150,6 +151,7 @@ class TestShardedEval:
         assert out2 == out
 
 
+@pytest.mark.slow
 class TestDeviceAccumulatorEval:
     def test_masked_scene_eval(self):
         """Fully on-device masked ADD(-S) over padded scene-style batches:
@@ -192,6 +194,7 @@ class TestDeviceAccumulatorEval:
                                        err_msg=f"{k} differs")
 
 
+@pytest.mark.slow
 class TestObservabilityWiring:
     def test_fit_writes_panels_and_eval_log(self, tmp_path):
         """Trainer.fit with panel_every + eval_fn leaves panel PNGs and

@@ -22,6 +22,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast lane: see conftest)
+
 torch = pytest.importorskip("torch")
 
 from torch_ref import build_reference_scflow_model, load_reference

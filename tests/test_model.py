@@ -190,6 +190,7 @@ class TestSCFlowRefiner:
                           iters=5)
         assert out.rotations.shape[0] == 5
 
+    @pytest.mark.slow
     def test_gradients_flow(self, scflow_model):
         model, variables = scflow_model
         render, real, r, t, depth, label = small_inputs()
@@ -223,6 +224,28 @@ class TestRAFTRefiner:
         flows, occs = model.apply(variables, render, real)
         assert flows.shape == (3, N, H, W, 2)
         assert occs.shape == (3, N, H, W, 1)
+
+    def test_multiview_broadcast_matches_tiled(self):
+        """One unbatched real image vs N renders == tiling it N times
+        (reference RAFTRefinerFlowMask.extract_feat broadcast,
+        raft_refiner_flow_mask.py:86-116). IN/BN are per-sample /
+        frozen-stats in eval, so encode-once + broadcast is exact."""
+        model = RAFTRefiner(iters=2, predict_mask=True)
+        render, real, *_ = small_inputs()
+        variables = model.init(jax.random.PRNGKey(0), render, real)
+        one_real = real[0]
+        flows_b, occs_b = model.apply(variables, render, one_real)
+        flows_t, occs_t = model.apply(
+            variables, render, jnp.tile(one_real[None], (N, 1, 1, 1)))
+        np.testing.assert_allclose(np.asarray(flows_b), np.asarray(flows_t),
+                                   atol=1e-5)
+        # and the mirror: one render vs N real frames
+        one_render = render[0]
+        flows_r, _ = model.apply(variables, one_render, real)
+        flows_rt, _ = model.apply(
+            variables, jnp.tile(one_render[None], (N, 1, 1, 1)), real)
+        np.testing.assert_allclose(np.asarray(flows_r), np.asarray(flows_rt),
+                                   atol=1e-5)
 
 
 class TestBF16Path:

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (fast lane: see conftest)
+
 ROOT = Path(__file__).resolve().parent.parent
 
 

@@ -62,6 +62,7 @@ class TestSyntheticData:
                                np.asarray(batch["gt_rotations"]))
 
 
+@pytest.mark.slow
 class TestLossAndTrainStep:
     def test_loss_finite_and_decomposed(self, setup):
         cfg, bank, renderer, points, model, tx, state, batch = setup
@@ -100,6 +101,7 @@ class TestLossAndTrainStep:
                                    np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
 
 
+@pytest.mark.slow
 class TestDataParallel:
     def test_sharded_train_step(self, setup):
         cfg, bank, renderer, points, model, tx, state, _ = setup
@@ -116,6 +118,7 @@ class TestDataParallel:
         assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 class TestMultiCycleAndMultiPass:
     def test_multi_cycle_train_step(self, setup):
         from scflow_tpu.training.steps import make_multi_cycle_train_step
@@ -137,6 +140,7 @@ class TestMultiCycleAndMultiPass:
                                    np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
 
 
+@pytest.mark.slow
 class TestRaftFamily:
     def _cfg(self, family):
         from scflow_tpu.training import Config, ModelConfig
@@ -208,6 +212,7 @@ class TestRaftFamily:
             build_model(self._cfg("bogus"))
 
 
+@pytest.mark.slow
 class TestLowresEval:
     def test_lowres_matches_exact(self):
         import jax

@@ -64,8 +64,16 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--max-objects", type=int, default=3)
+    p.add_argument("--min-objects", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--split", default="test")
+    # correlated per-image camera error composed onto every object's INIT
+    # pose (on top of per-object jitter): gives multi-object scenes a
+    # shared correction for the pose-graph extension to recover
+    p.add_argument("--camera-angle-std", type=float, default=0.0,
+                   help="per-image shared rotation error std (deg)")
+    p.add_argument("--camera-trans-std", type=float, default=0.0,
+                   help="per-image shared translation error std (mm)")
     args = p.parse_args()
 
     import jax
@@ -126,7 +134,7 @@ def main():
     jit_cfg = JitterConfig(angle_std_deg=10.0, xy_std_mm=10.0, z_std_mm=30.0)
 
     for img_id in range(args.num_images):
-        n = int(rng.integers(1, args.max_objects + 1))
+        n = int(rng.integers(args.min_objects, args.max_objects + 1))
         labels = rng.integers(0, args.num_classes, n)
         rots, trans = [], []
         for _ in range(n):
@@ -160,6 +168,12 @@ def main():
 
         _imwrite(os.path.join(split_dir, "rgb", f"{img_id:06d}.png"), scene)
         gt_list, info_list, init_list = [], [], []
+        if args.camera_angle_std > 0 or args.camera_trans_std > 0:
+            from scipy.spatial.transform import Rotation as _Rot
+
+            aa = rng.normal(0, np.deg2rad(args.camera_angle_std), 3)
+            cam_dr = _Rot.from_rotvec(aa).as_matrix().astype(np.float32)
+            cam_dt = rng.normal(0, args.camera_trans_std, 3).astype(np.float32)
         for i in range(n):
             m8 = (vis_masks[i] * 255).astype(np.uint8)
             _imwrite(os.path.join(split_dir, "mask_visib",
@@ -177,6 +191,10 @@ def main():
                               "px_count_visib": vis,
                               "bbox_obj": bbox, "bbox_visib": bbox})
             ref_r, ref_t, *_ = jitter_pose_np(rng, rots[i], trans[i], jit_cfg)
+            if args.camera_angle_std > 0 or args.camera_trans_std > 0:
+                # shared per-image camera error (drawn once per image below)
+                ref_r = cam_dr @ np.asarray(ref_r)
+                ref_t = cam_dr @ np.asarray(ref_t) + cam_dt
             init_list.append({"cam_R_m2c": np.asarray(ref_r).reshape(-1).tolist(),
                               "cam_t_m2c": np.asarray(ref_t).tolist(),
                               "obj_id": int(labels[i]) + 1, "score": 1.0})
