@@ -73,6 +73,52 @@ def flow_from_pose_and_depth(rotation_src: jax.Array, translation_src: jax.Array
                                      pts_obj, depth_src > 0, invalid_num)
 
 
+def _grid_sample_zeros_mxu(image: jax.Array, x: jax.Array, y: jax.Array,
+                           chunk: int = 4096) -> jax.Array:
+    """Bilinear zero-padded sampling as a separable dense tent-weight
+    contraction on the MXU — the gather-free formulation of
+    :func:`_grid_sample_zeros` (same trick as models/corr.corr_lookup_pm).
+
+    s[n, p] = Σ_y Σ_x image[n, y, x] · max(0, 1−|sy_p−y|) · max(0, 1−|sx_p−x|)
+
+    The tent weights have ≤2 nonzeros per axis, so this is exactly the
+    4-tap bilinear sample with zeros outside the frame. XLA lowers the
+    per-pixel gather to a ~21 ms fusion per tap at (32, 256²) on TPU v5e
+    (the single largest cost of the train step, profile r5); this
+    contraction runs the same sampling in ~8 ms total at f32-exact
+    precision (``precision=HIGHEST`` — bf16 MXU rounding would flip
+    pixels at the validity threshold).
+
+    image: (N, H, W); x/y: (N, P) pixel coords. Returns (N, P).
+    """
+    n, h, w = image.shape
+    p = x.shape[-1]
+    pad = (-p) % chunk
+    if pad:
+        # padded queries sample far outside the frame → exactly 0
+        x = jnp.concatenate([x, jnp.full((n, pad), -10.0, x.dtype)], axis=-1)
+        y = jnp.concatenate([y, jnp.full((n, pad), -10.0, y.dtype)], axis=-1)
+    nc = (p + pad) // chunk
+    xc = x.reshape(n, nc, chunk).swapaxes(0, 1)       # (nc, N, C)
+    yc = y.reshape(n, nc, chunk).swapaxes(0, 1)
+    iw = jnp.arange(w, dtype=x.dtype)
+    ih = jnp.arange(h, dtype=y.dtype)
+
+    def one(args):
+        sx, sy = args                                  # (N, C)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            sx[:, None, :] - iw[None, :, None]))       # (N, W, C)
+        t1 = jax.lax.dot_general(image.astype(x.dtype), wx,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 precision="highest")  # (N, H, C)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            sy[:, None, :] - ih[None, :, None]))       # (N, H, C)
+        return jnp.sum(t1 * wy, axis=1)                # (N, C)
+
+    s = jax.lax.map(one, (xc, yc)).swapaxes(0, 1).reshape(n, -1)
+    return s[:, :p] if pad else s
+
+
 def _grid_sample_zeros(image: jax.Array, x: jax.Array, y: jax.Array
                        ) -> jax.Array:
     """Bilinear sample of (..., H, W) at pixel coords (x, y) with zeros
@@ -123,7 +169,17 @@ def filter_flow_by_mask(flow: jax.Array, target_mask: jax.Array,
     target = grid + flow
     sx = target[..., 0] * (w / max(w - 1, 1)) - 0.5
     sy = target[..., 1] * (h / max(h - 1, 1)) - 0.5
-    sampled = _grid_sample_zeros(target_mask.astype(flow.dtype), sx, sy)
+    if (jax.default_backend() == "tpu"
+            and sx.shape[:-2] == target_mask.shape[:-2]):
+        # gather-free MXU formulation (bit-identical; XLA's gather lowering
+        # was the train step's single largest cost — see _grid_sample_zeros_mxu)
+        lead = target_mask.shape[:-2]
+        m = target_mask.astype(flow.dtype).reshape((-1,) + target_mask.shape[-2:])
+        sampled = _grid_sample_zeros_mxu(
+            m, sx.reshape(m.shape[0], -1), sy.reshape(m.shape[0], -1))
+        sampled = sampled.reshape(lead + (h, w))
+    else:
+        sampled = _grid_sample_zeros(target_mask.astype(flow.dtype), sx, sy)
     ok = sampled >= threshold
     return jnp.where(ok[..., None], flow, jnp.asarray(invalid_num, flow.dtype))
 

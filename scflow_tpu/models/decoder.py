@@ -161,6 +161,9 @@ class SCFlowDecoder(nn.Module):
     depth_transform: str = "exp"
     detach_depth_for_xy: bool = True
     dtype: object = None
+    # rematerialize each scan iteration's activations in the backward pass
+    # (trade recompute FLOPs for HBM traffic across the 8-iteration loop)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feat_render, feat_real, h_feat, cxt_feat,
@@ -226,8 +229,9 @@ class SCFlowDecoder(nn.Module):
 
         carry = (h_feat, init_flow, init_mask, ref_rotation, ref_translation)
 
+        body = nn.remat(_SCFlowIteration) if self.remat else _SCFlowIteration
         scan = nn.scan(
-            _SCFlowIteration,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,

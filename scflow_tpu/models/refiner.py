@@ -39,6 +39,7 @@ class SCFlowRefiner(nn.Module):
     detach_depth_for_xy: bool = True
     mask_flow: bool = False
     mask_corr: bool = False
+    remat: bool = False
     dtype: object = None       # bf16 compute fast path (params stay f32)
 
     def setup(self):
@@ -61,7 +62,7 @@ class SCFlowRefiner(nn.Module):
             depth_transform=self.depth_transform,
             detach_depth_for_xy=self.detach_depth_for_xy,
             mask_flow=self.mask_flow, mask_corr=self.mask_corr,
-            dtype=self.dtype, name="decoder")
+            remat=self.remat, dtype=self.dtype, name="decoder")
 
     def extract_feat(self, render_images, real_images, train: bool = False,
                      sample_valid=None):

@@ -30,6 +30,8 @@ class ModelConfig:
     detach_depth_for_xy: bool = True
     mask_flow: bool = False
     mask_corr: bool = False
+    # remat the decoder scan body in backward (recompute vs HBM traffic)
+    remat: bool = False
     max_flow: float = 400.0
     filter_invalid_flow: bool = True
     # compute dtype for the conv/matmul stack: 'float32' | 'bfloat16'

@@ -75,7 +75,8 @@ def build_model(cfg: Config):
         num_levels=m.num_levels, radius=m.radius, iters=m.iters,
         rotation_mode=m.rotation_mode, depth_transform=m.depth_transform,
         detach_depth_for_xy=m.detach_depth_for_xy,
-        mask_flow=m.mask_flow, mask_corr=m.mask_corr, dtype=dtype)
+        mask_flow=m.mask_flow, mask_corr=m.mask_corr, remat=m.remat,
+        dtype=dtype)
 
 
 def init_train_state(cfg: Config, model, tx, rng, sample_batch) -> TrainState:
@@ -113,6 +114,31 @@ def render_at_pose(renderer: Renderer, rotations, translations, k, labels,
     return images, out["depth"], out["mask"].astype(jnp.float32)
 
 
+def device_normalize_images(images, cfg: Config):
+    """Normalize uint8 image batches ON DEVICE.
+
+    Loaders ship raw uint8 crops (4× fewer host→device bytes than f32, 2×
+    vs bf16 — the image upload bounds the eval pipeline on tunnel-attached
+    chips); the math matches the host ``normalize_image``
+    (data/pipeline.py:176: (u8 − mean)/std on the 0-255 scale). Float
+    inputs pass through unchanged (already normalized on host).
+    """
+    if images.dtype == jnp.uint8:
+        mean = jnp.asarray(cfg.data.normalize_mean, jnp.float32)
+        std = jnp.asarray(cfg.data.normalize_std, jnp.float32)
+        return (images.astype(jnp.float32) - mean) / std
+    return images
+
+
+def _normalize_batch(batch, cfg: Config):
+    """Device-side normalization of uint8-shipped batch fields."""
+    out = dict(batch)
+    out["real_images"] = device_normalize_images(batch["real_images"], cfg)
+    if "gt_masks" in batch and batch["gt_masks"].dtype == jnp.uint8:
+        out["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
+    return out
+
+
 def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
                 points_bank: PointsBank, cfg: Config, train: bool = True):
     """Full SCFlow training loss (scflow_refiner.py:182-256 semantics).
@@ -123,6 +149,7 @@ def scflow_loss(params, batch_stats, batch, *, model: SCFlowRefiner,
     0/1 weight for padded batch entries).
     """
     max_flow = cfg.model.max_flow
+    batch = _normalize_batch(batch, cfg)
     sample_valid = batch.get("sample_valid")
     variables = {"params": params}
     if batch_stats:
@@ -188,6 +215,7 @@ def raft_loss(params, batch_stats, batch, *, model: RAFTRefiner,
     raft_refiner_flow_mask.py:167-220). ``points_bank`` is unused (kept for
     signature parity with scflow_loss)."""
     max_flow = cfg.model.max_flow
+    batch = _normalize_batch(batch, cfg)
     sample_valid = batch.get("sample_valid")
     variables = {"params": params}
     if batch_stats:
@@ -335,6 +363,7 @@ def make_panel_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     bank = renderer.mesh_bank.with_tri_tables()
 
     def panel_step(params, batch_stats, batch, mesh_bank):
+        batch = _normalize_batch(batch, cfg)
         rendered, depth, rmask = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],
@@ -380,6 +409,7 @@ def _eval_step_core(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     (compose-able: multi-pass wraps it without re-baking constants)."""
 
     def eval_step(params, batch_stats, batch, mesh_bank):
+        batch = _normalize_batch(batch, cfg)
         rendered, depth, _ = render_at_pose(
             renderer, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"],

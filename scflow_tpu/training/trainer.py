@@ -249,11 +249,12 @@ class Trainer:
         the step runs, and materialize with ``np.asarray`` later.
         """
         assert self.state is not None
-        if self.cfg.model.dtype == "bfloat16" and "real_images" in batch:
-            # the encoder's first conv casts to bf16 anyway — casting ON
-            # HOST before the host→device transfer halves its bytes (the
-            # images are the only dense input; over the single-chip
-            # tunnel the transfer, not the step, bounds eval)
+        if (self.cfg.model.dtype == "bfloat16" and "real_images" in batch
+                and np.asarray(batch["real_images"]).dtype != np.uint8):
+            # float batches: cast ON HOST before the host→device transfer
+            # to halve its bytes. uint8 batches ship raw (1 byte/px, the
+            # loader default) and normalize on device — the transfer, not
+            # the step, bounds eval over the single-chip tunnel.
             import ml_dtypes
 
             batch = dict(batch, real_images=np.asarray(

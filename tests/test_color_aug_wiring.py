@@ -58,7 +58,7 @@ class TestBackgroundWiring:
         b = _builder(minibop, background_dir=str(bg_dir), background_p=1.0)
         assert len(b._bg_paths) == 2
         batch = b()
-        imgs = batch["real_images"] * 255.0     # undo 0-1 normalization
+        imgs = batch["real_images"].astype(np.float32)  # raw uint8 crops
         masks = batch["gt_masks"] > 0.5
         bg_color = np.asarray([10, 200, 60], np.float32)
         for i in range(len(imgs)):

@@ -303,3 +303,26 @@ class TestFlowFilters:
         flow2 = jnp.full((1, 32, 32, 2), 20.0)
         out2 = filter_flow_by_face_index(flow2, fid, fid, invalid_num=400.0)
         assert float(out2[0, 10, 10, 0]) == 400.0
+
+
+class TestMxuGridSample:
+    def test_mxu_sampler_matches_gather_sampler(self):
+        """The TPU-path separable tent-contraction sampler is bit-exact
+        against the gather formulation (same 4-tap bilinear + zeros
+        padding) — proven on-chip too; this pins the math on CPU."""
+        from scflow_tpu.geometry.flow import (_grid_sample_zeros,
+                                              _grid_sample_zeros_mxu)
+
+        rng = np.random.default_rng(0)
+        n, h, w = 3, 24, 40
+        img = jnp.asarray(rng.random((n, h, w)), jnp.float32)
+        # in-range, out-of-range, and exactly-on-border samples
+        x = jnp.asarray(rng.uniform(-4, w + 4, (n, 10, 30)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-4, h + 4, (n, 10, 30)), jnp.float32)
+        x = x.at[:, 0, :5].set(jnp.asarray([0.0, w - 1.0, -1.0, w + 0.0, 7.0]))
+        y = y.at[:, 0, :5].set(jnp.asarray([0.0, h - 1.0, 3.0, -1.0, 7.0]))
+        a = np.asarray(_grid_sample_zeros(img, x, y))
+        b = np.asarray(_grid_sample_zeros_mxu(
+            img, x.reshape(n, -1), y.reshape(n, -1),
+            chunk=128).reshape(n, 10, 30))
+        np.testing.assert_allclose(a, b, atol=1e-6)

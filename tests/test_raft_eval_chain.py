@@ -98,7 +98,13 @@ def _reference_flows(full, cfg, renderer, item, test_iters=3):
     n, h, w = depth.shape
 
     with torch.no_grad():
-        feat_real = full.real_encoder(to_t(item["real_images"]))
+        from scflow_tpu.data.pipeline import normalize_image
+
+        real_norm = np.asarray(item["real_images"])
+        if real_norm.dtype == np.uint8:   # loader ships raw u8 crops now
+            real_norm = normalize_image(real_norm, cfg.data.normalize_mean,
+                                        cfg.data.normalize_std)
+        feat_real = full.real_encoder(to_t(real_norm))
         feat_render = full.render_encoder(to_t(rendered))
         cxt = full.context(to_t(rendered))
         h_feat, cxt_feat = torch.split(cxt, [128, 128], dim=1)

@@ -34,10 +34,9 @@ def build_step(batch, mode, dtype="bfloat16", iters=8):
     from scflow_tpu.data import synthetic_batch
     from scflow_tpu.rendering import Renderer, make_test_meshes
     from scflow_tpu.training import (Config, ModelConfig, build_model,
-                                     init_train_state, make_eval_step,
-                                     make_optimizer, make_train_step,
-                                     render_at_pose)
-    from scflow_tpu.training.points_bank import PointsBank
+                                     build_points_bank, init_train_state,
+                                     make_eval_step, make_optimizer,
+                                     make_train_step, render_at_pose)
 
     bank = make_test_meshes(num_classes=21, subdivisions=3, radius=60.0)
     renderer = Renderer(bank, image_size=(256, 256))
@@ -61,7 +60,7 @@ def build_step(batch, mode, dtype="bfloat16", iters=8):
 
     # train: full supervised batch (gt = slightly jittered ref)
     tx, _ = make_optimizer(cfg)
-    pb = PointsBank.from_meshes(bank, cfg.data.symmetric_classes)
+    pb = build_points_bank(bank, num_points=1000)
     state = init_train_state(cfg, model, tx, jax.random.PRNGKey(2),
                              dict(batch_data, rendered_images=rendered,
                                   rendered_depths=depth, rendered_masks=mask))
