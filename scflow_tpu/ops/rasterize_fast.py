@@ -269,9 +269,12 @@ def rasterize_fast(verts_xy, verts_z, faces, face_valid, height, width,
     zbuf = jnp.where(bg, 0.0, zbuf)
     out = {"zbuf": zbuf, "face_id": face_id}
     if tri_attrs is not None:
-        attrs = attrs.reshape(ty, tx, TILE, TILE, ATTR_PAD)
-        attrs = jnp.moveaxis(attrs, 2, 1).reshape(height, width, ATTR_PAD)
-        out["attrs"] = jnp.where(bg[..., None], 0.0, attrs[..., :d_attr])
+        # slice to the live channels BEFORE the tile-major→row-major
+        # relayout: the moveaxis is a real HBM copy (~2.4 ms at batch 32),
+        # so move 9/16ths of the bytes instead of all of ATTR_PAD
+        attrs = attrs.reshape(ty, tx, TILE, TILE, ATTR_PAD)[..., :d_attr]
+        attrs = jnp.moveaxis(attrs, 2, 1).reshape(height, width, d_attr)
+        out["attrs"] = jnp.where(bg[..., None], 0.0, attrs)
     if return_bary:
         # XLA tail (per-pixel gather) — kept for parity tests; the renderer
         # path requests attrs instead.

@@ -30,9 +30,14 @@ import jax.numpy as jnp
 
 from ..geometry.projection import depth_to_correspondences, pixel_grid
 from ..geometry.rotation import axis_angle_to_matrix
+from ..utils.precision import f32_matmuls
 
 
-def _object_jacobian(points, r, t, k, weights, eps=1e-6):
+def _object_jacobian(points, r, t, k, weights, eps=1e-2):
+    # eps clamps 1/z: with eps=1e-6 a point driven to z≈0 mid-iteration
+    # gives J entries ~1e18 whose normal equations overflow f32 to inf
+    # (observed on a real eval group); 1e-2 bounds JᵀJ safely and such
+    # points carry no useful signal anyway.
     """Per-object GN blocks for reprojection residuals w.r.t. the object
     pose (left-multiplied axis-angle + translation) AND a shared camera
     correction applied on the camera side.
@@ -82,10 +87,30 @@ def _gn_blocks(points, target_2d, r, t, k, weights, damping):
     return h_damped, h, b
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+def _precond_solve(h, b, damping):
+    """Jacobi-preconditioned damped solve of the 6×6 normal equations.
+
+    The raw system mixes rotation columns (~f·|p_cam|) with translation
+    columns (~f/z): condition numbers reach ~1e8, where an f32 solve is
+    pure noise once residuals are small (measured: an exactly-converged
+    camera step then *diverged* by 0.5° per iteration). Normalizing by
+    sqrt(diag H) drops the condition to the geometry's intrinsic ratio and
+    makes the damping λ relative (Levenberg-Marquardt style).
+    Supports leading batch dims on (..., 6, 6) / (..., 6).
+    """
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(h, axis1=-2, axis2=-1), 1e-12))
+    hn = h / (d[..., :, None] * d[..., None, :])
+    bn = b / d
+    eye = jnp.eye(6, dtype=h.dtype)
+    x = jnp.linalg.solve(hn + damping * eye, bn[..., None])[..., 0]
+    return x / d
+
+
+@partial(jax.jit, static_argnames=("iterations", "camera_only"))
+@f32_matmuls
 def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
                      object_valid=None, damping: float = 1e-3,
-                     iterations: int = 3):
+                     iterations: int = 3, camera_only: bool = False):
     """Joint scene refinement: shared camera correction + per-object poses.
 
     Args:
@@ -98,6 +123,14 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
         correction acts in camera frame (before K) and stays shared.
       weights: (N, P) per-point confidence (0 disables).
       object_valid: (N,) 0/1 mask for padded object slots.
+      camera_only: apply ONLY the shared camera correction, skipping the
+        per-object local solves. The camera block aggregates thousands of
+        points across all objects so target noise averages out; per-object
+        re-solves inherit the targets' noise floor — when the targets are
+        flow-derived and the per-object refiner (direct pose regression)
+        is already more accurate than flow+PnP, the object step DEGRADES
+        poses (measured: synthetic-BOP ADD-AUC 0.60 → 0.25 full graph vs
+        held at pose-head quality camera-only; POSE_GRAPH_ABLATION.md).
 
     Returns dict(rotations, translations, camera_rotation,
     camera_translation): refined object poses with the shared camera
@@ -112,44 +145,69 @@ def solve_pose_graph(points, target_2d, rotations, translations, k, weights,
         return (jnp.einsum("ij,njk->nik", dr, r),
                 jnp.einsum("ij,nj->ni", dr, t) + dc[3:])
 
-    def step(carry, _):
-        r, t, cam_r, cam_t = carry
-        # camera step: reduced system summed over all objects
-        h_ii, _, b_i = jax.vmap(
+    def blocks(r, t):
+        return jax.vmap(
             lambda p, o, rr, tt, kk, w: _gn_blocks(p, o, rr, tt, kk, w,
                                                    damping)
         )(points, target_2d, r, t, k_b, weights)
+
+    def camera_step(carry, _):
+        # reduced camera system summed over all objects. All matmuls in
+        # this module run at f32 precision (f32_matmuls): the TPU's default
+        # bf16 matmul datapath corrupts the ~1e8-condition normal equations
+        # (measured divergence that vanished once traced f32).
+        r, t, cam_r, cam_t = carry
+        h_ii, _, b_i = blocks(r, t)
         h_c = jnp.sum(h_ii * ov[:, None, None], axis=0)
         b_c = jnp.sum(b_i * ov[:, None], axis=0)
         delta_c = jnp.linalg.solve(h_c + damping * jnp.eye(6), b_c)
+        # a non-finite camera solve would poison every object — skip it
+        delta_c = jnp.where(jnp.all(jnp.isfinite(delta_c)), delta_c, 0.0)
         r, t = apply_cam(delta_c, r, t)
         cam_r = axis_angle_to_matrix(delta_c[:3]) @ cam_r
         cam_t = axis_angle_to_matrix(delta_c[:3]) @ cam_t + delta_c[3:]
+        return (r, t, cam_r, cam_t), None
 
-        # object step: local solves at the corrected camera
-        h_ii, _, b_i = jax.vmap(
-            lambda p, o, rr, tt, kk, w: _gn_blocks(p, o, rr, tt, kk, w,
-                                                   damping)
-        )(points, target_2d, r, t, k_b, weights)
+    def object_step(carry, _):
+        # independent local GN solves at the corrected camera (raw damped
+        # solve: measured 1e-3 relative accuracy vs f64 on these systems)
+        r, t, cam_r, cam_t = carry
+        h_ii, _, b_i = blocks(r, t)
         delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
         delta_p = delta_p * ov[:, None]
+        # per-object guard: a non-finite local solve freezes the object
+        delta_p = jnp.where(
+            jnp.all(jnp.isfinite(delta_p), axis=-1, keepdims=True),
+            delta_p, 0.0)
         dr = axis_angle_to_matrix(delta_p[:, :3])
         r = jnp.einsum("nij,njk->nik", dr, r)
         t = jnp.einsum("nij,nj->ni", dr, t) + delta_p[:, 3:]
         return (r, t, cam_r, cam_t), None
 
-    init = (rotations, translations, jnp.eye(3), jnp.zeros(3))
-    (r, t, cam_r, cam_t), _ = jax.lax.scan(step, init, None, length=iterations)
+    carry = (rotations, translations, jnp.eye(3), jnp.zeros(3))
+    if camera_only:
+        # camera block alone, iterated
+        carry, _ = jax.lax.scan(camera_step, carry, None, length=iterations)
+    else:
+        # alternating block descent (the regularized limit of the
+        # gauge-singular joint system): camera consensus, object polish
+        def both(carry, _):
+            carry, _ = camera_step(carry, None)
+            return object_step(carry, None)
+
+        carry, _ = jax.lax.scan(both, carry, None, length=iterations)
+    r, t, cam_r, cam_t = carry
     return {"rotations": r, "translations": t,
             "camera_rotation": cam_r, "camera_translation": cam_t}
 
 
-@partial(jax.jit, static_argnames=("max_points", "iterations"))
+@partial(jax.jit, static_argnames=("max_points", "iterations", "camera_only"))
+@f32_matmuls
 def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
                          ref_translations, pred_rotations, pred_translations,
                          k, object_valid, occlusion_threshold: float = 0.5,
                          max_points: int = 512, iterations: int = 3,
-                         damping: float = 1e-3):
+                         damping: float = 1e-3, camera_only: bool = True):
     """Scene pose-graph refinement from refiner outputs (one image's objects).
 
     Builds flow-derived 2D targets for every object of a scene — the
@@ -174,6 +232,10 @@ def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
         intrinsics (the real eval path: each object's crop folds its own
         transform into K via adapt_intrinsic, data/loader.py).
       object_valid: (N,) 0/1 mask for padded object slots.
+      camera_only: default True — apply only the shared camera correction
+        (see solve_pose_graph: per-object re-solves against flow targets
+        degrade direct-pose-head accuracy; measured in
+        POSE_GRAPH_ABLATION.md).
 
     Returns dict(rotations, translations, camera_rotation,
     camera_translation), padded slots carrying their input poses.
@@ -210,8 +272,11 @@ def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
 
     out = solve_pose_graph(p3, p2, pred_rotations, pred_translations, k_b,
                            weights, object_valid=ov, damping=damping,
-                           iterations=iterations)
-    keep = ov[:, None, None] > 0
+                           iterations=iterations, camera_only=camera_only)
+    finite = (jnp.all(jnp.isfinite(out["rotations"]), axis=(-2, -1))
+              & jnp.all(jnp.isfinite(out["translations"]), axis=-1))
+    keep = (ov > 0) & finite
+    keep = keep[:, None, None]
     return {
         "rotations": jnp.where(keep, out["rotations"], pred_rotations),
         "translations": jnp.where(keep[..., 0], out["translations"],
@@ -221,6 +286,7 @@ def pose_graph_from_flow(flow, occlusion, depth, ref_rotations,
     }
 
 
+@f32_matmuls
 def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
                              weights, mesh, axis_name: str = "data",
                              damping: float = 1e-3, iterations: int = 3):
@@ -240,22 +306,23 @@ def solve_pose_graph_sharded(points, target_2d, rotations, translations, k,
             return (jnp.einsum("ij,njk->nik", dr, rr),
                     jnp.einsum("ij,nj->ni", dr, tt) + dc[3:])
 
-        def step(carry, _):
-            rr, tt = carry
-            h_ii, _, b_i = jax.vmap(
+        def blocks(rr, tt):
+            return jax.vmap(
                 lambda p, o, a, b, kx, ww: _gn_blocks(p, o, a, b, kx, ww,
                                                       damping)
             )(pts, tgt, rr, tt, kk, w)
-            # global camera reductions over ALL objects: psum over the mesh
+
+        # same alternating sequence as solve_pose_graph full mode; the
+        # camera reductions are the only cross-shard part (two psums)
+        def step(carry, _):
+            rr, tt = carry
+            h_ii, _, b_i = blocks(rr, tt)
             h_c = jax.lax.psum(jnp.sum(h_ii, axis=0), axis_name)
             b_c = jax.lax.psum(jnp.sum(b_i, axis=0), axis_name)
             delta_c = jnp.linalg.solve(h_c + damping * jnp.eye(6), b_c)
             rr, tt = apply_cam(delta_c, rr, tt)
 
-            h_ii, _, b_i = jax.vmap(
-                lambda p, o, a, b, kx, ww: _gn_blocks(p, o, a, b, kx, ww,
-                                                      damping)
-            )(pts, tgt, rr, tt, kk, w)
+            h_ii, _, b_i = blocks(rr, tt)
             delta_p = jnp.linalg.solve(h_ii, b_i[..., None])[..., 0]
             dr = axis_angle_to_matrix(delta_p[:, :3])
             rr = jnp.einsum("nij,njk->nik", dr, rr)

@@ -106,7 +106,7 @@ def _prefetch_items(builder, indices, depth: int = 16, workers: int = 6):
 
 
 def _pose_graph_refine(out: dict, batch: dict, start: int, n: int,
-                       budget: int) -> dict:
+                       budget: int, camera_only: bool = True) -> dict:
     """Scene pose-graph pass for one packed image's object group.
 
     Pads the group to ``budget`` slots (fixed shapes → one compile) and
@@ -135,7 +135,8 @@ def _pose_graph_refine(out: dict, batch: dict, start: int, n: int,
         jnp.asarray(out["ref_translations"][idxs]),
         jnp.asarray(out["rotations"][idxs]),
         jnp.asarray(out["translations"][idxs]),
-        jnp.asarray(batch["k"][idxs]), jnp.asarray(valid))
+        jnp.asarray(batch["k"][idxs]), jnp.asarray(valid),
+        camera_only=camera_only)
     return {"rotations": np.asarray(pg["rotations"][:n]),
             "translations": np.asarray(pg["translations"][:n])}
 
@@ -144,7 +145,8 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
                      limit: int | None = None, collect_results: bool = False,
                      progress_every: int = 50,
                      progress: Callable = print,
-                     pose_graph_metric=None) -> tuple[dict, list]:
+                     pose_graph_metric=None,
+                     pose_graph_camera_only: bool = True) -> tuple[dict, list]:
     """Sharded, batched eval over a TestBatchBuilder.
 
     Packs images into ``slot_budget``-slot device batches (one compile, one
@@ -176,9 +178,53 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
         fetch += ("flow", "masks", "depth", "ref_rotations",
                   "ref_translations")
 
-    def consume(out_dev, batch, metas):
+    @jax.jit
+    def _pack_outputs(out):
+        """Concatenate the fetched outputs into at most two device buffers
+        (small poses + dense maps): every host read pays the transport's
+        fixed latency (~0.1-2 s on relay-attached chips), so one read per
+        batch replaces 3-8."""
+        n = out["rotations"].shape[0]
+        small = [out["rotations"].reshape(n, 9).astype(jnp.float32),
+                 out["translations"].astype(jnp.float32)]
+        if "pnp_valid" in out:
+            small.append(out["pnp_valid"].astype(jnp.float32)[:, None])
+        if "ref_rotations" in out:
+            small.append(out["ref_rotations"].reshape(n, 9)
+                         .astype(jnp.float32))
+            small.append(out["ref_translations"].astype(jnp.float32))
+        packed = {"small": jnp.concatenate(small, axis=1)}
+        if "flow" in out:
+            packed["dense"] = jnp.concatenate(
+                [out["flow"].astype(jnp.float32),
+                 out["masks"].astype(jnp.float32),
+                 out["depth"].astype(jnp.float32)[..., None]], axis=-1)
+        return packed
+
+    def _unpack_outputs(packed_np, had_pnp, had_ref):
+        s = packed_np["small"]
+        n = s.shape[0]
+        out = {"rotations": s[:, :9].reshape(n, 3, 3),
+               "translations": s[:, 9:12]}
+        i = 12
+        if had_pnp:
+            out["pnp_valid"] = s[:, i] > 0.5
+            i += 1
+        if had_ref:
+            out["ref_rotations"] = s[:, i:i + 9].reshape(n, 3, 3)
+            out["ref_translations"] = s[:, i + 9:i + 12]
+        if "dense" in packed_np:
+            d = packed_np["dense"]
+            out["flow"] = d[..., :2]
+            out["masks"] = d[..., 2:3]
+            out["depth"] = d[..., 3]
+        return out
+
+    def consume(packed_dev, had_pnp, batch, metas):
         nonlocal n_images
-        out = {k: np.asarray(v) for k, v in out_dev.items()}
+        out = _unpack_outputs(
+            {k: np.asarray(v) for k, v in packed_dev.items()},
+            had_pnp=had_pnp, had_ref=pose_graph_metric is not None)
         for item, start, n in metas:
             pred = {"labels": np.asarray(item["labels"][:n]),
                     "rotations": out["rotations"][start:start + n],
@@ -193,7 +239,8 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
                       "translations": item["gt_translations"]}
                 metric.process(pred, gt, k=item["ori_k"])
                 if pose_graph_metric is not None:
-                    pg = _pose_graph_refine(out, batch, start, n, slot_budget)
+                    pg = _pose_graph_refine(out, batch, start, n, slot_budget,
+                                            camera_only=pose_graph_camera_only)
                     pose_graph_metric.process(dict(pred, **pg), gt,
                                               k=item["ori_k"])
             n_images += 1
@@ -211,7 +258,8 @@ def evaluate_dataset(trainer, builder, metric, *, slot_budget: int = 16,
                                    ("real_images", "ref_rotations",
                                     "ref_translations", "k", "labels")},
                                   keys=fetch, sync=False)
-        pending.append((out_dev, batch, metas))
+        had_pnp = "pnp_valid" in out_dev
+        pending.append((_pack_outputs(out_dev), had_pnp, batch, metas))
         if len(pending) > 2:
             consume(*pending.popleft())
     while pending:

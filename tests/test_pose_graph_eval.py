@@ -21,12 +21,18 @@ K = jnp.asarray([[120.0, 0.0, 32.0], [0.0, 120.0, 32.0], [0.0, 0.0, 1.0]])
 
 def make_flow_scene(n=4, cam_aa=(0.02, -0.015, 0.01), cam_t=(5.0, -3.0, 8.0),
                     obj_noise=0.003, seed=0):
-    """Flat-square scenes: each object is a fronto-parallel patch whose
-    rendered depth is constant; GT = shared camera error ∘ (ref ∘ noise)."""
+    """Curved-patch scenes: each object is a patch with a depth gradient +
+    curvature (a fronto-parallel CONSTANT-depth plane leaves the classic
+    rotation/translation ambiguity — ωx↔ty/z, ωy↔tx/z — unresolvable by
+    ANY solver; real renders always carry depth variation);
+    GT = shared camera error ∘ (ref ∘ noise)."""
     rng = np.random.default_rng(seed)
     depth = np.zeros((n, H, W), np.float32)
+    yy, xx = np.mgrid[16:48, 16:48].astype(np.float32)
     for i in range(n):
-        depth[i, 16:48, 16:48] = 600.0 + 40.0 * i
+        base = 600.0 + 40.0 * i
+        depth[i, 16:48, 16:48] = (base + 2.0 * (xx - 32) + 1.5 * (yy - 32)
+                                  + 0.08 * ((xx - 32) ** 2 + (yy - 32) ** 2))
     depth = jnp.asarray(depth)
     ref_r = jnp.tile(jnp.eye(3), (n, 1, 1))
     ref_t = jnp.zeros((n, 3))
@@ -66,11 +72,20 @@ def pose_errors(r, t, gt_r, gt_t):
 
 class TestPoseGraphFromFlow:
     def test_recovers_shared_camera_error(self):
+        """Full-graph recovery. NB: all objects here share one K (one
+        viewing direction) — a 64² narrow-FoV scene leaves the shared
+        camera block's ωx↔ty/ωy↔tx directions weakly observable (verified
+        in f64: the exact GN optimum mixes them), so camera-only cannot
+        split the correction; the full graph recovers via the per-object
+        solves. Real eval crops carry per-object Ks spanning the image
+        FoV, where the camera block is well observable
+        (test_pose_graph.py::test_per_object_intrinsics)."""
         s = make_flow_scene()
         n = s["depth"].shape[0]
         out = pose_graph_from_flow(
             s["flow"], s["occ"], s["depth"], s["ref_r"], s["ref_t"],
-            s["ref_r"], s["ref_t"], K, jnp.ones((n,)), iterations=5)
+            s["ref_r"], s["ref_t"], K, jnp.ones((n,)), iterations=5,
+            camera_only=False)
         rot0, tr0 = pose_errors(s["ref_r"], s["ref_t"], s["gt_r"], s["gt_t"])
         rot1, tr1 = pose_errors(out["rotations"], out["translations"],
                                 s["gt_r"], s["gt_t"])
@@ -113,7 +128,7 @@ class TestPoseGraphFromFlow:
         occ[2] = 0.0
         out = pose_graph_from_flow(
             s["flow"], jnp.asarray(occ), s["depth"], s["ref_r"], s["ref_t"],
-            s["ref_r"], s["ref_t"], K, jnp.ones((3,)))
+            s["ref_r"], s["ref_t"], K, jnp.ones((3,)), camera_only=False)
         np.testing.assert_array_equal(np.asarray(out["rotations"][2]),
                                       np.asarray(s["ref_r"][2]))
         rot, _ = pose_errors(out["rotations"][:2], out["translations"][:2],
