@@ -318,7 +318,7 @@ def bench_train(batch=16, iters=8, image_size=(256, 256), num_class=21,
     }
 
 
-def bench_eval_pipeline(num_images=96, slot_budget=32, image_size=256,
+def bench_eval_pipeline(num_images=96, slot_budget=64, image_size=256,
                         iters=8):
     """The real test.py path end to end (readers → pack → device → host
     ADD matching) over a generated synthetic BOP set: images/s + host

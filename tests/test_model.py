@@ -248,6 +248,7 @@ class TestRAFTRefiner:
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 class TestBF16Path:
     def test_bf16_forward_close_to_f32(self):
         model32 = SCFlowRefiner(num_class=2, iters=2)
@@ -358,6 +359,7 @@ class TestPixelsMinorCorr:
                                    atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 class TestResNetBackbone:
     def test_resnet18_shapes(self):
         import jax

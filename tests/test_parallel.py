@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -68,6 +69,7 @@ class TestMetricAccumulator:
             np.testing.assert_array_equal(np.asarray(joint[k]),
                                           np.asarray(merged[k]))
 
+    @pytest.mark.slow
     def test_update_inside_jit_and_shard_map(self):
         mesh = make_mesh()
         acc = MetricAccumulator(num_classes=2)
