@@ -279,10 +279,18 @@ def make_masked_metric_step(eval_step, points_bank: PointsBank,
     Assumes predictions are aligned with GT slot-for-slot (scene batches /
     jittered-GT eval), i.e. no host-side matching is needed.
     """
+    # inline the eval step's unjitted core with the mesh bank as a jit
+    # ARGUMENT when available — calling the jitted wrapper inside this jit
+    # would bake the bank into the program as multi-MB constants
+    core = getattr(eval_step, "core", None)
+    bank = getattr(eval_step, "bank", None)
 
     @jax.jit
     def step(params, batch_stats, batch, acc_state):
-        out = eval_step(params, batch_stats, batch)
+        if core is not None:
+            out = core(params, batch_stats, batch, bank)
+        else:
+            out = eval_step(params, batch_stats, batch)
         points, point_valid, symmetric, diameters = points_bank.gather(
             batch["labels"])
         # zero out padded points so they don't perturb the mean: replace

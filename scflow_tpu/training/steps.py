@@ -469,8 +469,15 @@ def make_eval_step(model: SCFlowRefiner, renderer: Renderer, cfg: Config):
     core = _eval_step_core(model, renderer, cfg)
     bank = renderer.mesh_bank.with_tri_tables()
     jitted = jax.jit(core)
-    return lambda params, batch_stats, batch: jitted(params, batch_stats,
-                                                     batch, bank)
+
+    def step(params, batch_stats, batch):
+        return jitted(params, batch_stats, batch, bank)
+
+    # expose the unjitted body + bank so enclosing jits can inline the step
+    # with the bank as an ARGUMENT (constant-free programs — see MeshBank)
+    step.core = core
+    step.bank = bank
+    return step
 
 
 def make_multi_pass_eval_step(model: SCFlowRefiner, renderer: Renderer,
